@@ -1,0 +1,124 @@
+"""Model configuration.
+
+Collapses the reference's three config tiers into one runtime dataclass:
+CLI macros (``src/atm/TempestInitialize.h:112-144``), compile-time switches
+(``src/atm/Defines.h:17-84``) and build options.  Static (re-)specialization
+happens through jit re-trace on a new config instead of ``#ifdef``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional
+
+import jax.numpy as jnp
+
+from .constants import PhysicalConstants, DEFAULT_CONSTANTS
+from .utils.timeobj import parse_duration_seconds
+
+
+class EquationSet(enum.Enum):
+    """Reference: ``src/atm/EquationSet.cpp:30-100``."""
+    ADVECTION = "advection"
+    SHALLOW_WATER = "shallowwater"           # components U, V, H
+    PRIMITIVE_NONHYDRO = "primitivenonhydro"  # components U, V, RhoTheta(P), W, Rho
+
+
+class VerticalStaggering(enum.Enum):
+    """Reference: ``src/atm/Grid.h:69-73``."""
+    LEVELS = "LEV"        # all variables on levels
+    INTERFACES = "INT"    # all variables on interfaces
+    LORENZ = "LOR"        # theta on levels, W on interfaces (default)
+    CHARNEY_PHILLIPS = "CPH"  # theta and W on interfaces
+
+
+class TimestepSchemeType(enum.Enum):
+    STRANG = "strang"
+    ERK = "erk"          # pure explicit (for --explicitvertical)
+    ARS222 = "ars222"
+    ARS232 = "ars232"
+    ARK232 = "ark232"
+    ARS343 = "ars343"
+    ARS443 = "ars443"
+    SSP3332 = "ssp3332"
+
+
+class ExplicitSubScheme(enum.Enum):
+    """Explicit RK discretizations selectable inside Strang/ERK.
+
+    Reference: ``TimestepSchemeStrang.cpp:39-51``.
+    """
+    FORWARD_EULER = "fe"
+    RK4 = "rk4"
+    SSPRK3 = "ssprk3"
+    KGU35 = "kgu35"      # Kinnmark-Gray-Ullrich 5-stage 3rd order (default)
+    SSPRK53 = "ssprk53"
+
+
+class GridKind(enum.Enum):
+    CUBED_SPHERE = "cubedsphere"
+    CARTESIAN_XZ = "cartesian_xz"     # x-z slice (periodic x)
+    CARTESIAN_3D = "cartesian3d"      # doubly-periodic plane
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Single source of truth for one model run."""
+
+    # --- discretization ---
+    equation_set: EquationSet = EquationSet.SHALLOW_WATER
+    grid_kind: GridKind = GridKind.CUBED_SPHERE
+    ne: int = 16                      # elements per cube edge (--resolution)
+    order: int = 4                    # horizontal GLL order p (--order)
+    nz: int = 1                       # vertical levels (--levels)
+    vertical_order: int = 1           # vertical FE order (--vertorder)
+    vertical_staggering: VerticalStaggering = VerticalStaggering.LORENZ
+    ztop: float = 1.0                 # model cap height (m); 1.0 for 2D sets
+    # Cartesian domain extents (grid_kind != CUBED_SPHERE)
+    x_extent: tuple = (0.0, 1000.0)
+    y_extent: tuple = (0.0, 1000.0)
+    nex: int = 10                     # elements in x
+    ney: int = 1                      # elements in y
+
+    # --- timestepping ---
+    timescheme: TimestepSchemeType = TimestepSchemeType.STRANG
+    explicit_scheme: ExplicitSubScheme = ExplicitSubScheme.KGU35
+    explicit_vertical: bool = False   # --explicitvertical
+    dt: float = 100.0                 # seconds
+    off_centering: float = 0.0        # implicit off-centering beta (--offcentering)
+
+    # --- dissipation ---
+    hyperdiffusion: bool = True       # apply nu4 hyperviscosity
+    nu_scalar: float = 1.0e15         # --nu
+    nu_div: float = 1.0e15            # --nud
+    nu_vort: float = 1.0e15           # --nuv
+    hypervis_order: int = 4           # --hypervisorder (2 = Laplacian, 4 = default)
+    instep_divergence_damping: bool = False
+    rayleigh_damping: bool = False
+
+    # --- vertical solver ---
+    newton_iterations: int = 1        # reference default does 1 Newton step/solve
+    vertical_upwinding: float = 0.0   # upwinding coefficient in vertical fluxes
+
+    # --- numerics ---
+    dtype: jnp.dtype = jnp.float64    # fp64 for parity tests; fp32/bf16 for speed
+    fuse_pallas: bool = True          # use pallas kernels on TPU where available
+
+    # --- physics constants ---
+    constants: PhysicalConstants = DEFAULT_CONSTANTS
+
+    # ------------------------------------------------------------------
+    @property
+    def npx(self) -> int:
+        """GLL nodes per panel edge (element-stacked, duplicated layout)."""
+        return self.ne * self.order
+
+    @property
+    def n_interfaces(self) -> int:
+        return self.nz + 1
+
+    def with_(self, **kw) -> "ModelConfig":
+        if "dt" in kw:
+            kw["dt"] = parse_duration_seconds(kw["dt"])
+        return dataclasses.replace(self, **kw)

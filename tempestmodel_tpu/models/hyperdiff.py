@@ -1,0 +1,168 @@
+"""Scalar and vector (hyper)diffusion for the SE dynamics.
+
+TPU-native equivalent of
+``HorizontalDynamicsFEM::ApplyScalarHyperdiffusion`` (reference
+``src/atm/HorizontalDynamicsFEM.cpp:1867-2205``),
+``ApplyVectorHyperdiffusion`` (``:2207-2420``) and the nu4 orchestration of
+``StepAfterSubCycle`` (``:2637-2726``):
+
+  order 2:  u += dt * nu * Lap(u)          (one weak Laplacian + DSS)
+  order 4:  w = Lap(u); DSS(w); u -= dt * nu_local * Lap(w); DSS(u)
+
+with nu_local = nu * (delta_alpha / reference_length)**3.2 applied on the
+second pass only (fScaleNuLocally), reference_length = pi/2/30
+(``GridCSGLL.cpp:87``).  Scalars diffuse with the weak scalar Laplacian;
+velocities diffuse through separate divergence/vorticity damping.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+
+from ..grid.geometry import CubedSphereGeometry
+from ..ops import sem
+from ..parallel import dss
+
+
+def scalar_laplacian(f, geom: CubedSphereGeometry, jac=None):
+    """Weak-form scalar Laplacian: (1/J) weak_div(J g^{ij} d_j f).
+
+    ``jac``: the 3D Jacobian stack for level/interface fields (defaults to
+    the 2D Jacobian); the horizontal contravariant metric is always the 2D
+    one, matching the reference (which feeds ContraMetric2DA/B).
+    """
+    ne, p, delta = geom.ne, geom.p, geom.delta
+    if jac is None:
+        jac = geom.jac2d
+    extra = f.ndim - 3
+    con = geom.con2d.reshape(geom.con2d.shape[:3] + (1,) * extra + (2, 2))
+    j = jac if jac.ndim == f.ndim else jac.reshape(jac.shape + (1,) * extra)
+    da, db = sem.deriv_both(f, geom.deriv, ne, p, delta)
+    ga = j * (con[..., 0, 0] * da + con[..., 0, 1] * db)
+    gb = j * (con[..., 1, 0] * da + con[..., 1, 1] * db)
+    return sem.weak_div(ga, gb, geom.stiff, ne, p, delta) / j
+
+
+def curl_and_div(u, v, geom: CubedSphereGeometry):
+    """Relative vorticity and divergence of the covariant velocity field.
+
+    Reference: ``GridPatchCSGLL::ComputeCurlAndDiv``
+    (``src/atm/GridPatchCSGLL.cpp:1132-1305``):
+      div  = (d_a(J u^a) + d_b(J u^b)) / J     (strong form)
+      curl = (d_a u_b - d_b u_a) / J
+    """
+    ne, p, delta = geom.ne, geom.p, geom.delta
+    extra = u.ndim - 3
+    con = geom.con2d.reshape(geom.con2d.shape[:3] + (1,) * extra + (2, 2))
+    j2 = geom.jac2d.reshape(geom.jac2d.shape + (1,) * extra)
+    con_u = con[..., 0, 0] * u + con[..., 0, 1] * v
+    con_v = con[..., 1, 0] * u + con[..., 1, 1] * v
+    d_ju_a = sem.deriv_a(j2 * con_u, geom.deriv, ne, p, delta)
+    d_jv_b = sem.deriv_b(j2 * con_v, geom.deriv, ne, p, delta)
+    dv_a = sem.deriv_a(v, geom.deriv, ne, p, delta)
+    du_b = sem.deriv_b(u, geom.deriv, ne, p, delta)
+    div = (d_ju_a + d_jv_b) / j2
+    curl = (dv_a - du_b) / j2
+    return curl, div
+
+
+def vector_hyperdiff_update(u, v, nu_div, nu_vort, geom: CubedSphereGeometry):
+    """One application of the div/vort-split vector diffusion operator.
+
+    Returns (Du, Dv) with the same sign convention as the reference's
+    ``dataUpdate -= dDeltaT * dUpdate`` with positive dt: the caller applies
+    ``u_new = u - dt * Du``.  Reference: ``ApplyVectorHyperdiffusion``.
+    """
+    ne, p, delta = geom.ne, geom.p, geom.delta
+    curl, div = curl_and_div(u, v, geom)
+    # weak gradient (stiffness transpose) of div and curl
+    wda_div = _weak_grad_a(div, geom)
+    wdb_div = _weak_grad_b(div, geom)
+    wda_curl = _weak_grad_a(curl, geom)
+    wdb_curl = _weak_grad_b(curl, geom)
+    extra = u.ndim - 3
+    con = geom.con2d.reshape(geom.con2d.shape[:3] + (1,) * extra + (2, 2))
+    j2 = geom.jac2d.reshape(geom.jac2d.shape + (1,) * extra)
+    du = nu_div * wda_div - nu_vort * j2 * (
+        con[..., 1, 0] * wda_curl + con[..., 1, 1] * wdb_curl)
+    dv = nu_div * wdb_div + nu_vort * j2 * (
+        con[..., 0, 0] * wda_curl + con[..., 0, 1] * wdb_curl)
+    return du, dv
+
+
+def _weak_grad_a(f, geom):
+    """-sum_s f_s S[i, s] / delta along alpha (reference dDaDiv loops)."""
+    ne, p, delta = geom.ne, geom.p, geom.delta
+    fe = sem._split(f, ne, p)
+    out = jnp.einsum("is,Pasb...->Paib...", geom.stiff, fe)
+    return -sem._merge(out) / delta
+
+
+def _weak_grad_b(f, geom):
+    ne, p, delta = geom.ne, geom.p, geom.delta
+    fe = sem._split(f, ne, p)
+    ft = jnp.moveaxis(fe, 4, -1)
+    out = jnp.einsum("is,P...s->P...i", geom.stiff, ft)
+    return -jnp.moveaxis(out, -1, 4).reshape(f.shape) / delta
+
+
+REFERENCE_LENGTH = 0.5 * jnp.pi / 30.0   # GridCSGLL.cpp:87
+
+
+def nu_local_scale(delta: float) -> float:
+    """(delta / reference_length)**3.2 (reference :1967-1975)."""
+    return float((delta / REFERENCE_LENGTH) ** 3.2)
+
+
+def step_after_subcycle_sw(state, dt, cfg, geom: CubedSphereGeometry,
+                           dss_state: Callable):
+    """nu4 hyperviscosity for the shallow-water state (Strang tail).
+
+    ``dss_state``: callable applying DSS to a full state dict.
+    Mirrors StepAfterSubCycle's order-4 branch exactly: Laplacian pass,
+    DSS, second Laplacian with locally-scaled nu, DSS.
+    """
+    if not cfg.hyperdiffusion or (
+            cfg.nu_scalar == 0 and cfg.nu_div == 0 and cfg.nu_vort == 0):
+        return dss_state(state)
+
+    scale = nu_local_scale(geom.delta) if cfg.hypervis_order == 4 else 1.0
+    nu_s = cfg.nu_scalar * scale
+    nu_d = cfg.nu_div * scale
+    nu_v = cfg.nu_vort * scale
+
+    if cfg.hypervis_order == 2:
+        h_new = state["H"] + dt * nu_s * scalar_laplacian(state["H"], geom)
+        du, dv = vector_hyperdiff_update(
+            state["U"], state["V"], cfg.nu_div, cfg.nu_vort, geom)
+        out = {"U": state["U"] - dt * du, "V": state["V"] - dt * dv, "H": h_new}
+        if "Tracers" in state:
+            out["Tracers"] = state["Tracers"] + dt * nu_s * scalar_laplacian(
+                state["Tracers"].transpose(1, 2, 3, 0), geom
+            ).transpose(3, 0, 1, 2)
+        return dss_state(out)
+
+    # ---- order 4 ----
+    # first application (dt=1, nu=1), then DSS of the working state
+    work = {
+        "H": scalar_laplacian(state["H"], geom),
+    }
+    wu, wv = vector_hyperdiff_update(state["U"], state["V"], 1.0, 1.0, geom)
+    # first pass stores -(operator) exactly as the reference (dt=+1)
+    work["U"] = -wu
+    work["V"] = -wv
+    if "Tracers" in state:
+        work["Tracers"] = scalar_laplacian(
+            state["Tracers"].transpose(1, 2, 3, 0), geom).transpose(3, 0, 1, 2)
+    work = dss_state(work)
+
+    # second application with -dt and locally-scaled nu
+    h_new = state["H"] - dt * nu_s * scalar_laplacian(work["H"], geom)
+    du, dv = vector_hyperdiff_update(work["U"], work["V"], nu_d, nu_v, geom)
+    out = {"U": state["U"] + dt * du, "V": state["V"] + dt * dv, "H": h_new}
+    if "Tracers" in state:
+        out["Tracers"] = state["Tracers"] - dt * nu_s * scalar_laplacian(
+            work["Tracers"].transpose(1, 2, 3, 0), geom).transpose(3, 0, 1, 2)
+    return dss_state(out)

@@ -1,0 +1,94 @@
+"""Explicit Runge-Kutta sub-schemes used inside Strang/ERK stepping.
+
+TPU-native equivalent of the explicit branches of
+``TimestepSchemeStrang::Step`` (reference
+``src/atm/TimestepSchemeStrang.cpp:460-690``) and the stage-combination
+constants (``:55-140``).  The reference juggles 5 persistent state
+instances with CopyData/LinearCombineData; here stages are just local
+pytrees inside one jitted function -- XLA does the buffer reuse.
+
+Each scheme is expressed with two primitives:
+  stage(u_base, u_eval, dt_s) = dss(u_base + dt_s * T(u_eval))
+  combine([...]) = linear combination of saved stages
+
+``tend`` must return element-local tendencies; ``dss_state`` applies DSS
+(the reference's PostProcessSubstage, ``GridGLL.cpp:571``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+
+from ..config import ExplicitSubScheme
+
+
+def _axpy(base, tendency, dt):
+    return jax.tree_util.tree_map(lambda b, t: b + dt * t, base, tendency)
+
+
+def _comb(coeffs_states):
+    """Linear combination of (coeff, state) pairs."""
+    coeffs, states = zip(*coeffs_states)
+    return jax.tree_util.tree_map(
+        lambda *xs: sum(c * x for c, x in zip(coeffs, xs)), *states)
+
+
+def erk_substep(scheme: ExplicitSubScheme, u0, dt, tend: Callable,
+                dss_state: Callable):
+    """One full explicit RK step u0 -> u_new (DSS after every stage)."""
+
+    def stage(base, ueval, dt_s):
+        return dss_state(_axpy(base, tend(ueval), dt_s))
+
+    if scheme == ExplicitSubScheme.FORWARD_EULER:
+        return stage(u0, u0, dt)
+
+    if scheme == ExplicitSubScheme.RK4:
+        u1 = stage(u0, u0, 0.5 * dt)
+        u2 = stage(u0, u1, 0.5 * dt)
+        u3 = stage(u0, u2, dt)
+        # m_dRK4Combination = [-1/3, 1/3, 2/3, 1/3]
+        base = _comb([(-1.0 / 3.0, u0), (1.0 / 3.0, u1),
+                      (2.0 / 3.0, u2), (1.0 / 3.0, u3)])
+        return stage(base, u3, dt / 6.0)
+
+    if scheme == ExplicitSubScheme.SSPRK3:
+        u1 = stage(u0, u0, dt)
+        base = _comb([(0.75, u0), (0.25, u1)])
+        u2 = stage(base, u1, 0.25 * dt)
+        base = _comb([(1.0 / 3.0, u0), (2.0 / 3.0, u2)])
+        return stage(base, u2, (2.0 / 3.0) * dt)
+
+    if scheme == ExplicitSubScheme.KGU35:
+        u1 = stage(u0, u0, dt / 5.0)
+        u2 = stage(u0, u1, dt / 5.0)
+        u3 = stage(u0, u2, dt / 3.0)
+        u2b = stage(u0, u3, 2.0 * dt / 3.0)
+        base = _comb([(-0.25, u0), (1.25, u1)])
+        return stage(base, u2b, 0.75 * dt)
+
+    if scheme == ExplicitSubScheme.SSPRK53:
+        c1 = 0.377268915331368
+        c3 = 0.242995220537396
+        c4 = 0.238458932846290
+        c5 = 0.287632146308408
+        u1 = stage(u0, u0, c1 * dt)
+        u2 = stage(u1, u1, c1 * dt)
+        base = _comb([(0.355909775063327, u0), (0.644090224936674, u2)])
+        u3 = stage(base, u2, c3 * dt)
+        base = _comb([(0.367933791638137, u0), (0.632066208361863, u3)])
+        u0b = stage(base, u3, c4 * dt)
+        base = _comb([(0.762406163401431, u0b), (0.237593836598569, u2)])
+        return stage(base, u0b, c5 * dt)
+
+    raise ValueError(f"unknown explicit scheme {scheme}")
+
+
+# Maximum stable Courant numbers of KGU35 vs horizontal order
+# (reference TimestepSchemeStrang.cpp:140-197, continuous part).
+KGU35_MAX_COURANT = {
+    2: 4.0, 3: 2.580678, 4: 2.121307, 5: 1.851593, 6: 1.651180,
+    7: 1.512724, 8: 1.402086, 9: 1.315476, 10: 1.243615,
+}
