@@ -273,6 +273,28 @@ class CubedSphereGeometry:
     def npx(self):
         return self.ne * self.p
 
+    # Rectangular-grid-generic aliases (panels are square)
+    @property
+    def nea(self):
+        return self.ne
+
+    @property
+    def neb(self):
+        return self.ne
+
+    @property
+    def delta_a(self):
+        return self.delta
+
+    @property
+    def delta_b(self):
+        return self.delta
+
+    @property
+    def reference_length(self):
+        """Hyperdiffusion reference length (``GridCSGLL.cpp:87``)."""
+        return 0.5 * np.pi / 30.0
+
 
 def build_geometry(
     ne: int,

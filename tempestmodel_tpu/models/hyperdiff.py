@@ -33,16 +33,17 @@ def scalar_laplacian(f, geom: CubedSphereGeometry, jac=None):
     the 2D Jacobian); the horizontal contravariant metric is always the 2D
     one, matching the reference (which feeds ContraMetric2DA/B).
     """
-    ne, p, delta = geom.ne, geom.p, geom.delta
+    nea, neb, p = geom.nea, geom.neb, geom.p
+    da_, db_ = geom.delta_a, geom.delta_b
     if jac is None:
         jac = geom.jac2d
     extra = f.ndim - 3
     con = geom.con2d.reshape(geom.con2d.shape[:3] + (1,) * extra + (2, 2))
     j = jac if jac.ndim == f.ndim else jac.reshape(jac.shape + (1,) * extra)
-    da, db = sem.deriv_both(f, geom.deriv, ne, p, delta)
+    da, db = sem.deriv_both(f, geom.deriv, nea, neb, p, da_, db_)
     ga = j * (con[..., 0, 0] * da + con[..., 0, 1] * db)
     gb = j * (con[..., 1, 0] * da + con[..., 1, 1] * db)
-    return sem.weak_div(ga, gb, geom.stiff, ne, p, delta) / j
+    return sem.weak_div(ga, gb, geom.stiff, nea, neb, p, da_, db_) / j
 
 
 def curl_and_div(u, v, geom: CubedSphereGeometry):
@@ -53,16 +54,17 @@ def curl_and_div(u, v, geom: CubedSphereGeometry):
       div  = (d_a(J u^a) + d_b(J u^b)) / J     (strong form)
       curl = (d_a u_b - d_b u_a) / J
     """
-    ne, p, delta = geom.ne, geom.p, geom.delta
+    nea, neb, p = geom.nea, geom.neb, geom.p
+    da_, db_ = geom.delta_a, geom.delta_b
     extra = u.ndim - 3
     con = geom.con2d.reshape(geom.con2d.shape[:3] + (1,) * extra + (2, 2))
     j2 = geom.jac2d.reshape(geom.jac2d.shape + (1,) * extra)
     con_u = con[..., 0, 0] * u + con[..., 0, 1] * v
     con_v = con[..., 1, 0] * u + con[..., 1, 1] * v
-    d_ju_a = sem.deriv_a(j2 * con_u, geom.deriv, ne, p, delta)
-    d_jv_b = sem.deriv_b(j2 * con_v, geom.deriv, ne, p, delta)
-    dv_a = sem.deriv_a(v, geom.deriv, ne, p, delta)
-    du_b = sem.deriv_b(u, geom.deriv, ne, p, delta)
+    d_ju_a = sem.deriv_a(j2 * con_u, geom.deriv, nea, neb, p, da_)
+    d_jv_b = sem.deriv_b(j2 * con_v, geom.deriv, nea, neb, p, db_)
+    dv_a = sem.deriv_a(v, geom.deriv, nea, neb, p, da_)
+    du_b = sem.deriv_b(u, geom.deriv, nea, neb, p, db_)
     div = (d_ju_a + d_jv_b) / j2
     curl = (dv_a - du_b) / j2
     return curl, div
@@ -75,7 +77,6 @@ def vector_hyperdiff_update(u, v, nu_div, nu_vort, geom: CubedSphereGeometry):
     ``dataUpdate -= dDeltaT * dUpdate`` with positive dt: the caller applies
     ``u_new = u - dt * Du``.  Reference: ``ApplyVectorHyperdiffusion``.
     """
-    ne, p, delta = geom.ne, geom.p, geom.delta
     curl, div = curl_and_div(u, v, geom)
     # weak gradient (stiffness transpose) of div and curl
     wda_div = _weak_grad_a(div, geom)
@@ -93,27 +94,80 @@ def vector_hyperdiff_update(u, v, nu_div, nu_vort, geom: CubedSphereGeometry):
 
 
 def _weak_grad_a(f, geom):
-    """-sum_s f_s S[i, s] / delta along alpha (reference dDaDiv loops)."""
-    ne, p, delta = geom.ne, geom.p, geom.delta
-    fe = sem._split(f, ne, p)
-    out = jnp.einsum("is,Pasb...->Paib...", geom.stiff, fe)
-    return -sem._merge(out) / delta
+    return sem.weak_grad_a(f, geom.stiff, geom.nea, geom.neb, geom.p,
+                           geom.delta_a)
 
 
 def _weak_grad_b(f, geom):
-    ne, p, delta = geom.ne, geom.p, geom.delta
-    fe = sem._split(f, ne, p)
-    ft = jnp.moveaxis(fe, 4, -1)
-    out = jnp.einsum("is,P...s->P...i", geom.stiff, ft)
-    return -jnp.moveaxis(out, -1, 4).reshape(f.shape) / delta
+    return sem.weak_grad_b(f, geom.stiff, geom.nea, geom.neb, geom.p,
+                           geom.delta_b)
 
 
-REFERENCE_LENGTH = 0.5 * jnp.pi / 30.0   # GridCSGLL.cpp:87
+def nu_local_scale(geom) -> float:
+    """(delta_a / reference_length)**3.2 (reference :1967-1975).
+
+    reference_length = pi/60 on the cubed sphere (``GridCSGLL.cpp:87``);
+    Cartesian tests set min(domain width, 110 km).
+    """
+    return float((geom.delta_a / geom.reference_length) ** 3.2)
 
 
-def nu_local_scale(delta: float) -> float:
-    """(delta / reference_length)**3.2 (reference :1967-1975)."""
-    return float((delta / REFERENCE_LENGTH) ** 3.2)
+def step_after_subcycle_nh(state, dt, cfg, geom, dss_state: Callable):
+    """nu4/nu2 hyperviscosity for the nonhydrostatic state (Strang tail).
+
+    Reference ``StepAfterSubCycle`` (``HorizontalDynamicsFEM.cpp:2637-2726``):
+    scalar (hyper)diffusion on Rt/W/Rho/tracers (each at its own vertical
+    location/Jacobian), div/vort-split vector diffusion on U/V, with DSS
+    between and after the two passes.
+    """
+    if not cfg.hyperdiffusion or (
+            cfg.nu_scalar == 0 and cfg.nu_div == 0 and cfg.nu_vort == 0):
+        return state
+
+    scale = nu_local_scale(geom) if cfg.hypervis_order == 4 else 1.0
+    nu_s = cfg.nu_scalar * scale
+    nu_d = cfg.nu_div * scale
+    nu_v = cfg.nu_vort * scale
+
+    def scalar_parts(s, sign_dt, nus):
+        out = {}
+        out["Rt"] = sign_dt * nus * scalar_laplacian(s["Rt"], geom, geom.jac3d)
+        out["W"] = sign_dt * nus * scalar_laplacian(s["W"], geom,
+                                                    geom.jac3d_int)
+        out["Rho"] = sign_dt * nus * scalar_laplacian(s["Rho"], geom,
+                                                      geom.jac3d)
+        if "Tracers" in s:
+            out["Tracers"] = sign_dt * nus * scalar_laplacian(
+                s["Tracers"].transpose(1, 2, 3, 4, 0), geom,
+                geom.jac3d).transpose(4, 0, 1, 2, 3)
+        return out
+
+    if cfg.hypervis_order == 2:
+        parts = scalar_parts(state, dt, nu_s)
+        du, dv = vector_hyperdiff_update(
+            state["U"], state["V"], cfg.nu_div, cfg.nu_vort, geom)
+        out = dict(state)
+        for k, v in parts.items():
+            out[k] = state[k] + v
+        out["U"] = state["U"] - dt * du
+        out["V"] = state["V"] - dt * dv
+        return dss_state(out)
+
+    # ---- order 4: Lap pass -> DSS -> -dt * nu_local * Lap pass -> DSS ----
+    work = scalar_parts(state, 1.0, 1.0)
+    wu, wv = vector_hyperdiff_update(state["U"], state["V"], 1.0, 1.0, geom)
+    work["U"] = -wu
+    work["V"] = -wv
+    work = dss_state(work)
+
+    parts = scalar_parts(work, -dt, nu_s)
+    du, dv = vector_hyperdiff_update(work["U"], work["V"], nu_d, nu_v, geom)
+    out = dict(state)
+    for k, v in parts.items():
+        out[k] = state[k] + v
+    out["U"] = state["U"] + dt * du
+    out["V"] = state["V"] + dt * dv
+    return dss_state(out)
 
 
 def step_after_subcycle_sw(state, dt, cfg, geom: CubedSphereGeometry,
@@ -128,7 +182,7 @@ def step_after_subcycle_sw(state, dt, cfg, geom: CubedSphereGeometry,
             cfg.nu_scalar == 0 and cfg.nu_div == 0 and cfg.nu_vort == 0):
         return dss_state(state)
 
-    scale = nu_local_scale(geom.delta) if cfg.hypervis_order == 4 else 1.0
+    scale = nu_local_scale(geom) if cfg.hypervis_order == 4 else 1.0
     nu_s = cfg.nu_scalar * scale
     nu_d = cfg.nu_div * scale
     nu_v = cfg.nu_vort * scale

@@ -1,0 +1,57 @@
+"""Nonhydrostatic model driver: config -> geometry + jitted Strang stepper.
+
+The Cartesian-plane analog of the reference's
+``TempestSetupCartesianModel`` wiring (``TempestInitialize.h:580-705``)
+with ``TimestepSchemeStrang`` + ``HorizontalDynamicsFEM`` +
+``VerticalDynamicsFEM``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+
+from ..config import ModelConfig, GridKind
+from ..grid import cartesian as cart
+from ..timestep.strang import make_strang_step
+
+
+def build_nh_cartesian_geometry(cfg: ModelConfig, topography=None,
+                                ztop: float = None):
+    return cart.build_cartesian_geometry(
+        nex=cfg.nex, ney=cfg.ney, p=cfg.order, nz=cfg.nz,
+        x_extent=cfg.x_extent, y_extent=cfg.y_extent,
+        ztop=ztop if ztop is not None else cfg.ztop,
+        constants=cfg.constants, vertical_order=cfg.vertical_order,
+        topography=topography,
+        is_xz=(cfg.grid_kind == GridKind.CARTESIAN_XZ),
+        dtype=cfg.dtype)
+
+
+def make_cartesian_dss(geom) -> Callable:
+    """DSS over the full nonhydrostatic state (flat metric: all scalars)."""
+    def dss_state(s):
+        out = {}
+        for k, f in s.items():
+            if k == "Tracers":
+                out[k] = jax.vmap(
+                    lambda x: cart.apply_dss_cartesian(x, geom))(f)
+            else:
+                out[k] = cart.apply_dss_cartesian(f, geom)
+        return out
+    return dss_state
+
+
+def make_nh_step(cfg: ModelConfig, geom):
+    """(first_step, step) jitted Strang-HEVI steppers for this config."""
+    dss_state = make_cartesian_dss(geom)
+    return make_strang_step(cfg, geom, dss_state)
+
+
+def run_nh(cfg: ModelConfig, state, nsteps: int, geom):
+    first_step, step = make_nh_step(cfg, geom)
+    state, carry = first_step(state)
+    for _ in range(nsteps - 1):
+        state, carry = step(state, carry)
+    return state

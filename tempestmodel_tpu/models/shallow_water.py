@@ -33,7 +33,7 @@ def sw_tendency(state, geom: CubedSphereGeometry, constants):
 
     Returns a dict of the same structure as ``state``.
     """
-    ne, p, delta = geom.ne, geom.p, geom.delta
+    ne, p, delta = geom.ne, geom.p, geom.delta_a
     D, S = geom.deriv, geom.stiff
 
     u = state["U"]
@@ -53,12 +53,12 @@ def sw_tendency(state, geom: CubedSphereGeometry, constants):
     flux_b = geom.jac2d * con_v * depth
 
     # derivatives
-    dke_a, dke_b = sem.deriv_both(ke, D, ne, p, delta)
-    dv_a = sem.deriv_a(v, D, ne, p, delta)   # d(u_b)/da
-    du_b = sem.deriv_b(u, D, ne, p, delta)   # d(u_a)/db
+    dke_a, dke_b = sem.deriv_both(ke, D, ne, ne, p, delta, delta)
+    dv_a = sem.deriv_a(v, D, ne, ne, p, delta)   # d(u_b)/da
+    du_b = sem.deriv_b(u, D, ne, ne, p, delta)   # d(u_a)/db
     zeta = dv_a - du_b                       # J * relative vorticity
 
-    div_mass = sem.weak_div(flux_a, flux_b, S, ne, p, delta)
+    div_mass = sem.weak_div(flux_a, flux_b, S, ne, ne, p, delta, delta)
 
     # absolute vorticity rotation + pressure-gradient terms (reference :583-607)
     fJ = geom.coriolis * geom.jac2d
@@ -74,7 +74,7 @@ def sw_tendency(state, geom: CubedSphereGeometry, constants):
         tr = state["Tracers"]
         ta = base_a[None] * tr
         tb = base_b[None] * tr
-        out["Tracers"] = -sem.weak_div(ta, tb, S, ne, p, delta) / geom.jac2d[None]
+        out["Tracers"] = -sem.weak_div(ta, tb, S, ne, ne, p, delta, delta) / geom.jac2d[None]
 
     return out
 

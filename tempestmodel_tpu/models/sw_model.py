@@ -43,12 +43,14 @@ def make_sw_step(cfg: ModelConfig, geom: CubedSphereGeometry) -> Callable:
                 s["Tracers"].transpose(1, 2, 3, 0), geom).transpose(3, 0, 1, 2)
         return out
 
-    def tend(s):
-        return sw.sw_tendency(s, geom, cfg.constants)
+    def stage(base, ueval, dt_s):
+        tend = sw.sw_tendency(ueval, geom, cfg.constants)
+        return dss_state(jax.tree_util.tree_map(
+            lambda b, t: b + dt_s * t, base, tend))
 
     @jax.jit
     def step(state):
-        u1 = erk_substep(cfg.explicit_scheme, state, cfg.dt, tend, dss_state)
+        u1 = erk_substep(cfg.explicit_scheme, state, cfg.dt, stage)
         return hyperdiff.step_after_subcycle_sw(
             u1, cfg.dt, cfg, geom, dss_state)
 

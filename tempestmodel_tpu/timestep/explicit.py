@@ -7,12 +7,10 @@ constants (``:55-140``).  The reference juggles 5 persistent state
 instances with CopyData/LinearCombineData; here stages are just local
 pytrees inside one jitted function -- XLA does the buffer reuse.
 
-Each scheme is expressed with two primitives:
-  stage(u_base, u_eval, dt_s) = dss(u_base + dt_s * T(u_eval))
-  combine([...]) = linear combination of saved stages
-
-``tend`` must return element-local tendencies; ``dss_state`` applies DSS
-(the reference's PostProcessSubstage, ``GridGLL.cpp:571``).
+The caller provides ``stage(base, u_eval, dt_s) -> new_state``: one
+forward-Euler-like substep evaluated at ``u_eval`` and added onto ``base``
+(including DSS and any model-specific post-processing; the reference's
+StepExplicit + PostProcessSubstage pair).
 """
 
 from __future__ import annotations
@@ -24,8 +22,12 @@ import jax
 from ..config import ExplicitSubScheme
 
 
-def _axpy(base, tendency, dt):
-    return jax.tree_util.tree_map(lambda b, t: b + dt * t, base, tendency)
+def tree_axpy(base, tendency, dt):
+    """base + dt * tendency over matching pytree keys (missing keys pass)."""
+    out = dict(base)
+    for k, t in tendency.items():
+        out[k] = base[k] + dt * t
+    return out
 
 
 def _comb(coeffs_states):
@@ -35,13 +37,11 @@ def _comb(coeffs_states):
         lambda *xs: sum(c * x for c, x in zip(coeffs, xs)), *states)
 
 
-def erk_substep(scheme: ExplicitSubScheme, u0, dt, tend: Callable,
-                dss_state: Callable):
-    """One full explicit RK step u0 -> u_new (DSS after every stage)."""
+def erk_substep(scheme: ExplicitSubScheme, u0, dt, stage: Callable):
+    """One full explicit RK step u0 -> u_new.
 
-    def stage(base, ueval, dt_s):
-        return dss_state(_axpy(base, tend(ueval), dt_s))
-
+    ``stage(base, u_eval, dt_s)`` performs base + dt_s * T(u_eval) with DSS.
+    """
     if scheme == ExplicitSubScheme.FORWARD_EULER:
         return stage(u0, u0, dt)
 
@@ -49,7 +49,6 @@ def erk_substep(scheme: ExplicitSubScheme, u0, dt, tend: Callable,
         u1 = stage(u0, u0, 0.5 * dt)
         u2 = stage(u0, u1, 0.5 * dt)
         u3 = stage(u0, u2, dt)
-        # m_dRK4Combination = [-1/3, 1/3, 2/3, 1/3]
         base = _comb([(-1.0 / 3.0, u0), (1.0 / 3.0, u1),
                       (2.0 / 3.0, u2), (1.0 / 3.0, u3)])
         return stage(base, u3, dt / 6.0)

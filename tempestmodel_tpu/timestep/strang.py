@@ -1,0 +1,68 @@
+"""Strang-split HEVI timestep scheme.
+
+TPU-native equivalent of ``TimestepSchemeStrang::Step``
+(``src/atm/TimestepSchemeStrang.cpp:450-674``): on the first step an
+implicit vertical half-step; afterwards the previous implicit increment is
+carried over (``m_dCarryoverCombination``); then the explicit RK substep
+(horizontal + explicit vertical terms with DSS per stage), the nu4
+hyperdiffusion tail, and the closing implicit vertical solve with optional
+off-centering.  The reference's 5 data instances become two pytrees
+(state, carry) threaded through one jitted function.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+
+from ..config import ModelConfig
+from ..models import nonhydro
+from ..models import hyperdiff
+from .explicit import erk_substep, tree_axpy
+
+
+def make_strang_step(cfg: ModelConfig, geom, dss_state: Callable):
+    """Returns (first_step, step) jitted functions.
+
+    first_step(state) -> (state, carry);  step(state, carry) -> (state, carry)
+    """
+    constants = cfg.constants
+    dt = cfg.dt
+    oc = cfg.off_centering
+
+    def stage(base, ueval, dt_s):
+        tend = nonhydro.horizontal_tendency(ueval, geom, constants)
+        upd = tree_axpy(base, tend, dt_s)
+        vinc = nonhydro.vertical_explicit_increment(ueval, geom, dt_s)
+        upd["U"] = upd["U"] + vinc["U"]
+        upd["V"] = upd["V"] + vinc["V"]
+        upd = nonhydro.apply_w_boundary(upd, geom)
+        return dss_state(upd)
+
+    def implicit(s, dti):
+        return nonhydro.vertical_implicit(
+            s, geom, constants, dti, newton_iters=cfg.newton_iterations)
+
+    def tail(state):
+        """Explicit RK + hyperdiffusion + closing implicit (shared path)."""
+        u4 = erk_substep(cfg.explicit_scheme, state, dt, stage)
+        u1 = hyperdiff.step_after_subcycle_nh(u4, dt, cfg, geom, dss_state)
+        u0 = implicit(u1, 0.5 * (1.0 + oc) * dt)
+        if oc != 0.0:
+            u0 = jax.tree_util.tree_map(
+                lambda a, b: 0.5 * (2.0 - oc) * a + 0.5 * oc * b, u0, u1)
+        carry = jax.tree_util.tree_map(lambda a, b: a - b, u0, u1)
+        return u0, carry
+
+    @jax.jit
+    def first_step(state):
+        state = implicit(state, 0.5 * dt)
+        return tail(state)
+
+    @jax.jit
+    def step(state, carry):
+        state = jax.tree_util.tree_map(lambda a, b: a + b, state, carry)
+        return tail(state)
+
+    return first_step, step

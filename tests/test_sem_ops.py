@@ -24,17 +24,17 @@ def test_deriv_a_b_polynomial_exact():
     fb = np.ones((A, 1)) * nodes[None, :] ** 3
     f_a = jnp.asarray(np.broadcast_to(fa, (6, A, A)))
     f_b = jnp.asarray(np.broadcast_to(fb, (6, A, A)))
-    da = sem.deriv_a(f_a, D, 4, 4, delta)
-    db = sem.deriv_b(f_b, D, 4, 4, delta)
+    da = sem.deriv_a(f_a, D, 4, 4, 4, delta)
+    db = sem.deriv_b(f_b, D, 4, 4, 4, delta)
     expect_a = 3.0 * nodes[:, None] ** 2 * np.ones((1, A))
     expect_b = 3.0 * np.ones((A, 1)) * nodes[None, :] ** 2
     np.testing.assert_allclose(np.asarray(da[0]), expect_a, atol=1e-10)
     np.testing.assert_allclose(np.asarray(db[0]), expect_b, atol=1e-10)
     # deriv_both must agree with the individual calls
-    da2, db2 = sem.deriv_both(f_a, D, 4, 4, delta)
+    da2, db2 = sem.deriv_both(f_a, D, 4, 4, 4, delta, delta)
     np.testing.assert_allclose(np.asarray(da), np.asarray(da2), atol=1e-13)
-    db3 = sem.deriv_b(f_a, D, 4, 4, delta)
-    _, db4 = sem.deriv_both(f_a, D, 4, 4, delta)
+    db3 = sem.deriv_b(f_a, D, 4, 4, 4, delta)
+    _, db4 = sem.deriv_both(f_a, D, 4, 4, 4, delta, delta)
     np.testing.assert_allclose(np.asarray(db3), np.asarray(db4), atol=1e-13)
 
 
@@ -45,8 +45,8 @@ def test_deriv_b_trailing_dims():
     rng = np.random.default_rng(0)
     f = rng.standard_normal((6, A, A))
     f3 = jnp.asarray(np.stack([f, 2.0 * f], axis=-1))
-    db3 = sem.deriv_b(f3, D, 4, 4, delta)
-    db = sem.deriv_b(jnp.asarray(f), D, 4, 4, delta)
+    db3 = sem.deriv_b(f3, D, 4, 4, 4, delta)
+    db = sem.deriv_b(jnp.asarray(f), D, 4, 4, 4, delta)
     np.testing.assert_allclose(np.asarray(db3[..., 0]), np.asarray(db),
                                atol=1e-12)
     np.testing.assert_allclose(np.asarray(db3[..., 1]), 2.0 * np.asarray(db),
@@ -67,7 +67,7 @@ def test_weak_div_mass_conservation():
     rng = np.random.default_rng(1)
     fa = rng.standard_normal((6, p, p))
     fb = rng.standard_normal((6, p, p))
-    d = sem.weak_div(jnp.asarray(fa), jnp.asarray(fb), S, 1, p, 1.0)
+    d = sem.weak_div(jnp.asarray(fa), jnp.asarray(fb), S, 1, 1, p, 1.0, 1.0)
     w2 = w01[:, None] * w01[None, :]
     total = float(jnp.sum(jnp.asarray(w2) * d[0]))
     np.testing.assert_allclose(total, 0.0, atol=1e-12)
