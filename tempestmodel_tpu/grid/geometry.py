@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from ..constants import PhysicalConstants
 from ..ops import quadrature as quad
+from ..ops import column_ops as co
 from . import cubed_sphere as cst
 
 EDGE_LEFT, EDGE_RIGHT, EDGE_BOTTOM, EDGE_TOP = 0, 1, 2, 3
@@ -217,6 +218,7 @@ class CubedSphereGeometry:
     ne: int
     p: int
     nz: int
+    vo: int
     # edge links: tuple of (panel, edge, nbr_panel, nbr_edge, flip)
     edge_meta: tuple
     corner_meta: tuple
@@ -256,10 +258,24 @@ class CubedSphereGeometry:
     z_int: Any            # (6, A, B, nz+1)  physical z of interfaces
     rayleigh_lev: Any     # (6, A, B, nz)    Rayleigh strength (0 if unused)
     rayleigh_int: Any     # (6, A, B, nz+1)
+    # vertical column operators (dense matrices over the level axis)
+    interp_n2i: Any
+    interp_i2n: Any
+    diff_n2n: Any
+    diff_n2n_zb: Any
+    diff_n2i: Any
+    diff_i2n: Any
+    diff_i2i: Any
+    diffdiff_n2n: Any
+    diffdiff_i2i: Any
+    penalty_left: Any
+    penalty_right: Any
+    wscat_left: Any
+    wscat_right: Any
 
     def tree_flatten(self):
         d = dataclasses.asdict(self)
-        static = {k: d.pop(k) for k in ("ne", "p", "nz", "edge_meta",
+        static = {k: d.pop(k) for k in ("ne", "p", "nz", "vo", "edge_meta",
                                         "corner_meta", "delta")}
         keys = tuple(sorted(d))
         return tuple(d[k] for k in keys), (static, keys)
@@ -295,6 +311,10 @@ class CubedSphereGeometry:
         """Hyperdiffusion reference length (``GridCSGLL.cpp:87``)."""
         return 0.5 * np.pi / 30.0
 
+    @property
+    def is_xz(self):
+        return False
+
 
 def build_geometry(
     ne: int,
@@ -303,10 +323,8 @@ def build_geometry(
     nz: int = 1,
     ztop: float = 1.0,
     topography=None,
-    reta_levels: np.ndarray | None = None,
-    reta_interfaces: np.ndarray | None = None,
-    w_levels: np.ndarray | None = None,
-    w_interfaces: np.ndarray | None = None,
+    vertical_order: int = 1,
+    stretch=None,
     dtype=jnp.float64,
 ) -> CubedSphereGeometry:
     """Precompute the full geometry pytree (host-side, float64).
@@ -393,26 +411,16 @@ def build_geometry(
     dtopo[..., 0] = np.einsum("Pasbt,si->Paibt", topo_e, D).reshape(6, A, A) / delta
     dtopo[..., 1] = np.einsum("Pasbt,ti->Pasbi", topo_e, D).reshape(6, A, A) / delta
 
-    # --- vertical coordinate ---
-    if reta_levels is None:
-        # uniform levels: midpoints (Lorenz) -- reference GridGLL vertical
-        # coordinate init for vertical order 1 (GridGLL.cpp:368+)
-        reta_int = np.linspace(0.0, 1.0, nz + 1)
-        reta_lev = 0.5 * (reta_int[:-1] + reta_int[1:])
-        w_lev = np.diff(reta_int)
-        w_int = np.zeros(nz + 1)
-        w_int[0] = 0.5 * (reta_int[1] - reta_int[0])
-        w_int[-1] = 0.5 * (reta_int[-1] - reta_int[-2])
-        w_int[1:-1] = 0.5 * (reta_int[2:] - reta_int[:-2])
-    else:
-        reta_lev = np.asarray(reta_levels)
-        reta_int = np.asarray(reta_interfaces)
-        w_lev = np.asarray(w_levels)
-        w_int = np.asarray(w_interfaces)
+    # --- vertical coordinate + column operators ---
+    # (reference GridGLL::InitializeVerticalCoordinate, GridGLL.cpp:470-550)
+    ops = co.build_column_ops(nz, vertical_order, stretch)
+    reta_lev, reta_int = ops.reta_lev, ops.reta_int
+    w_lev, w_int = ops.na_lev, ops.na_int
 
     zs = topo[..., None]
-    z_lev = zs + (ztop - zs) * reta_lev
-    z_int = zs + (ztop - zs) * reta_int
+    z_lev = np.broadcast_to(zs + (ztop - zs) * reta_lev, (6, A, A, nz)).copy()
+    z_int = np.broadcast_to(zs + (ztop - zs) * reta_int,
+                            (6, A, A, nz + 1)).copy()
 
     # Gal-Chen derivatives (reference GridPatchCSGLL.cpp:440-466):
     # dDaR = (1 - reta) dZs/da ; dDxR = ztop - Zs
@@ -445,7 +453,7 @@ def build_geometry(
 
     cast = lambda x: jnp.asarray(x, dtype=dtype)
     return CubedSphereGeometry(
-        ne=ne, p=p, nz=nz,
+        ne=ne, p=p, nz=nz, vo=vertical_order,
         edge_meta=edge_meta, corner_meta=corner_meta,
         gll_w=cast(w01), deriv=cast(D), stiff=cast(S), interp_gl=cast(interp_gl),
         alpha=cast(alpha), lon=cast(lon), lat=cast(lat),
@@ -461,6 +469,15 @@ def build_geometry(
         con_xi_xi_int=cast(con_xi_xi_int),
         area3d=cast(area3d), area3d_int=cast(area3d_int),
         z_lev=cast(z_lev), z_int=cast(z_int),
-        rayleigh_lev=cast(np.zeros_like(z_lev)),
-        rayleigh_int=cast(np.zeros_like(z_int)),
+        rayleigh_lev=cast(np.zeros(jac3d.shape)),
+        rayleigh_int=cast(np.zeros(jac3d_int.shape)),
+        interp_n2i=cast(ops.interp_n2i), interp_i2n=cast(ops.interp_i2n),
+        diff_n2n=cast(ops.diff_n2n), diff_n2n_zb=cast(ops.diff_n2n_zb),
+        diff_n2i=cast(ops.diff_n2i), diff_i2n=cast(ops.diff_i2n),
+        diff_i2i=cast(ops.diff_i2i),
+        diffdiff_n2n=cast(ops.diffdiff_n2n),
+        diffdiff_i2i=cast(ops.diffdiff_i2i),
+        penalty_left=cast(ops.penalty_left),
+        penalty_right=cast(ops.penalty_right),
+        wscat_left=cast(ops.wscat_left), wscat_right=cast(ops.wscat_right),
     )

@@ -14,6 +14,8 @@ import jax
 
 from ..config import ModelConfig, GridKind
 from ..grid import cartesian as cart
+from ..grid import geometry as sphere_geom
+from ..parallel import dss as sphere_dss
 from ..timestep.strang import make_strang_step
 
 
@@ -43,9 +45,40 @@ def make_cartesian_dss(geom) -> Callable:
     return dss_state
 
 
+def build_nh_sphere_geometry(cfg: ModelConfig, topography=None,
+                             ztop: float = None):
+    return sphere_geom.build_geometry(
+        ne=cfg.ne, p=cfg.order, constants=cfg.constants, nz=cfg.nz,
+        ztop=ztop if ztop is not None else cfg.ztop,
+        topography=topography, vertical_order=cfg.vertical_order,
+        dtype=cfg.dtype)
+
+
+def make_sphere_dss(geom) -> Callable:
+    """DSS over the nonhydrostatic state on the cubed sphere.
+
+    U/V transform as a covariant vector pair across panel edges
+    (``TransformHaloVelocities``); Rt/W/Rho/tracers are scalars.
+    """
+    def dss_state(s):
+        out = dict(s)
+        u, v = sphere_dss.apply_dss_vector(s["U"], s["V"], geom)
+        out["U"], out["V"] = u, v
+        for k in ("Rt", "W", "Rho"):
+            out[k] = sphere_dss.apply_dss_scalar(s[k], geom)
+        if "Tracers" in s:
+            out["Tracers"] = jax.vmap(
+                lambda x: sphere_dss.apply_dss_scalar(x, geom))(s["Tracers"])
+        return out
+    return dss_state
+
+
 def make_nh_step(cfg: ModelConfig, geom):
     """(first_step, step) jitted Strang-HEVI steppers for this config."""
-    dss_state = make_cartesian_dss(geom)
+    if cfg.grid_kind == GridKind.CUBED_SPHERE:
+        dss_state = make_sphere_dss(geom)
+    else:
+        dss_state = make_cartesian_dss(geom)
     return make_strang_step(cfg, geom, dss_state)
 
 
