@@ -100,6 +100,7 @@ class ModelConfig:
     # --- vertical solver ---
     newton_iterations: int = 1        # reference default does 1 Newton step/solve
     vertical_upwinding: float = 0.0   # upwinding coefficient in vertical fluxes
+    vertical_solver: str = "banded"   # "banded" (DGBSV analog) | "dense"
 
     # --- numerics ---
     dtype: jnp.dtype = jnp.float64    # fp64 for parity tests; fp32/bf16 for speed

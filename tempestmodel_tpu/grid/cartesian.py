@@ -158,6 +158,7 @@ def build_cartesian_geometry(
     is_xz: bool = True,
     reference_latitude: float = 0.0,
     stretch=None,
+    rayleigh=None,
     dtype=jnp.float64,
 ) -> CartesianGeometry:
     """Precompute the Cartesian geometry pytree (host-side float64).
@@ -268,8 +269,12 @@ def build_cartesian_geometry(
         con_xi_xi_int=cast(cx_i),
         area3d=cast(area3d), area3d_int=cast(area3d_int),
         z_lev=cast(z_lev), z_int=cast(z_int),
-        rayleigh_lev=cast(np.zeros(jac3d.shape)),
-        rayleigh_int=cast(np.zeros(jac3d_int.shape)),
+        rayleigh_lev=cast(rayleigh(np.broadcast_to(z_lev, jac3d.shape))
+                          if rayleigh is not None
+                          else np.zeros(jac3d.shape)),
+        rayleigh_int=cast(rayleigh(np.broadcast_to(z_int, jac3d_int.shape))
+                          if rayleigh is not None
+                          else np.zeros(jac3d_int.shape)),
         interp_n2i=cast(ops.interp_n2i), interp_i2n=cast(ops.interp_i2n),
         diff_n2n=cast(ops.diff_n2n), diff_n2n_zb=cast(ops.diff_n2n_zb),
         diff_n2i=cast(ops.diff_n2i), diff_i2n=cast(ops.diff_i2n),

@@ -325,6 +325,7 @@ def build_geometry(
     topography=None,
     vertical_order: int = 1,
     stretch=None,
+    rayleigh=None,
     dtype=jnp.float64,
 ) -> CubedSphereGeometry:
     """Precompute the full geometry pytree (host-side, float64).
@@ -469,8 +470,10 @@ def build_geometry(
         con_xi_xi_int=cast(con_xi_xi_int),
         area3d=cast(area3d), area3d_int=cast(area3d_int),
         z_lev=cast(z_lev), z_int=cast(z_int),
-        rayleigh_lev=cast(np.zeros(jac3d.shape)),
-        rayleigh_int=cast(np.zeros(jac3d_int.shape)),
+        rayleigh_lev=cast(rayleigh(z_lev) if rayleigh is not None
+                          else np.zeros(jac3d.shape)),
+        rayleigh_int=cast(rayleigh(z_int) if rayleigh is not None
+                          else np.zeros(jac3d_int.shape)),
         interp_n2i=cast(ops.interp_n2i), interp_i2n=cast(ops.interp_i2n),
         diff_n2n=cast(ops.diff_n2n), diff_n2n_zb=cast(ops.diff_n2n_zb),
         diff_n2i=cast(ops.diff_n2i), diff_i2n=cast(ops.diff_i2n),

@@ -1,0 +1,197 @@
+"""Output managers: scheduling, checksums, reference-grid output, restart.
+
+TPU-native analogs of the reference output stack:
+- ``OutputManager`` scheduling (``src/atm/OutputManager.{h,cpp}``):
+  fixed-interval triggering with ``IsOutputNeeded``-style logic.
+- ``OutputManagerChecksum`` (``src/atm/OutputManagerChecksum.cpp``):
+  periodic global per-component checksums (the regression signal).
+- ``OutputManagerReference`` (``src/atm/OutputManagerReference.cpp``):
+  state interpolated to a regular lat-lon grid with optional derived
+  fields, written as .npz (NetCDF-convertible via the util tools).
+- ``OutputManagerComposite`` (``src/atm/OutputManagerComposite.cpp``):
+  full-precision restart dump of the active state + time metadata.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from .diagnostics import state_checksums
+
+
+class OutputManager:
+    """Base: fires every ``interval`` seconds of model time."""
+
+    def __init__(self, interval: float, initial_output: bool = True):
+        self.interval = float(interval)
+        self.initial = initial_output
+        self._last = None
+
+    def is_output_needed(self, t: float) -> bool:
+        if self._last is None:
+            if self.initial:
+                return True
+            self._last = t           # arm the timer at first query
+            return False
+        return t - self._last >= self.interval - 1e-9
+
+    def manage_output(self, model, t: float):
+        self._last = t
+        self.output(model, t)
+
+    def output(self, model, t: float):
+        raise NotImplementedError
+
+
+class ChecksumOutput(OutputManager):
+    """Periodic per-component global checksums to a log list / printer."""
+
+    def __init__(self, interval: float, kind: str = "l2", printer=None):
+        super().__init__(interval)
+        self.kind = kind
+        self.printer = printer
+        self.records = []
+
+    def output(self, model, t: float):
+        area = (model.geom.area3d if "Rho" in model.state
+                else model.geom.area2d)
+        sums = state_checksums(model.state, area, self.kind)
+        rec = {"time": t}
+        rec.update({k: float(v) for k, v in sums.items()})
+        self.records.append(rec)
+        if self.printer:
+            body = "  ".join(f"{k}: {v:.14e}" for k, v in rec.items()
+                             if k != "time")
+            self.printer(f"..Checksums t={t:.1f}s  {body}")
+
+
+class EnergyOutput(OutputManager):
+    """Conservation diagnostics: total mass + (SW) energy/enstrophy stream.
+
+    Analog of ``Grid::ComputeTotalEnergy/PotentialEnstrophy``
+    (``Grid.h:239-265``).
+    """
+
+    def __init__(self, interval: float, printer=None):
+        super().__init__(interval)
+        self.printer = printer
+        self.records = []
+
+    def output(self, model, t: float):
+        rec = {"time": t}
+        if "Rho" in model.state:
+            rec["mass"] = float(jnp.sum(
+                model.state["Rho"] * model.geom.area3d))
+            rec["rhotheta"] = float(jnp.sum(
+                model.state["Rt"] * model.geom.area3d))
+        else:
+            from ..models.shallow_water import sw_energy
+            rec["energy"] = float(sw_energy(
+                model.state, model.geom, model.cfg.constants))
+        self.records.append(rec)
+        if self.printer:
+            body = "  ".join(f"{k}={v:.12e}" for k, v in rec.items()
+                             if k != "time")
+            self.printer(f"..Invariants t={t:.1f}s  {body}")
+
+
+class ReferenceOutput(OutputManager):
+    """Lat-lon interpolated scientific output (.npz files).
+
+    Fields: native components converted to physical velocities, plus
+    derived temperature/pressure for the nonhydro set (the reference's
+    optional output fields, ``OutputManagerReference.cpp:119-178``).
+    """
+
+    def __init__(self, interval: float, outdir: str, nlat: int = 91,
+                 nlon: int = 180, prefix: str = "out"):
+        super().__init__(interval)
+        self.outdir = outdir
+        self.nlat = nlat
+        self.nlon = nlon
+        self.prefix = prefix
+        self.count = 0
+        self._interp = None
+
+    def output(self, model, t: float):
+        from .latlon import build_latlon_interp
+        os.makedirs(self.outdir, exist_ok=True)
+        if self._interp is None:
+            self._interp = build_latlon_interp(
+                model.geom, self.nlat, self.nlon)
+        it = self._interp
+        c = model.cfg.constants
+        s = model.state
+        fields = {"lat": it.lat, "lon": it.lon, "time": t}
+        if "H" in s:
+            ulon, ulat = it.vector(s["U"], s["V"], c.earth_radius)
+            fields["U"] = np.asarray(ulon)
+            fields["V"] = np.asarray(ulat)
+            fields["H"] = np.asarray(it.scalar(s["H"]))
+        else:
+            ulon, ulat = it.vector(s["U"], s["V"], c.earth_radius)
+            fields["U"] = np.asarray(ulon)
+            fields["V"] = np.asarray(ulat)
+            rho = it.scalar(s["Rho"])
+            rt = it.scalar(s["Rt"])
+            fields["Rho"] = np.asarray(rho)
+            fields["Theta"] = np.asarray(rt / rho)
+            pres = c.pressure_from_rhotheta(rt)
+            fields["P"] = np.asarray(pres)
+            fields["T"] = np.asarray(pres / (c.Rd * rho))
+            # w: covariant W -> physical w = W / (dz/dxi) on interfaces
+            w_phys = s["W"] / model.geom.deriv_r_int[..., 2]
+            fields["W"] = np.asarray(it.scalar(w_phys))
+            if "Tracers" in s:
+                fields["Tracers"] = np.stack(
+                    [np.asarray(it.scalar(s["Tracers"][i]))
+                     for i in range(s["Tracers"].shape[0])])
+        path = os.path.join(
+            self.outdir, f"{self.prefix}.{self.count:06d}.npz")
+        np.savez_compressed(path, **fields)
+        self.count += 1
+        return path
+
+
+class CompositeCheckpoint(OutputManager):
+    """Full-precision restart dump + restore.
+
+    Analog of ``OutputManagerComposite`` (binary arena dump gathered to
+    rank 0): here the state pytree + carry + step/time metadata in one
+    .npz; ``load`` restores bit-exact state for restart.
+    """
+
+    def __init__(self, interval: float, outdir: str,
+                 prefix: str = "restart"):
+        super().__init__(interval, initial_output=False)
+        self.outdir = outdir
+        self.prefix = prefix
+
+    def output(self, model, t: float):
+        os.makedirs(self.outdir, exist_ok=True)
+        payload = {f"state_{k}": np.asarray(v)
+                   for k, v in model.state.items()}
+        if model.carry is not None:
+            payload.update({f"carry_{k}": np.asarray(v)
+                            for k, v in model.carry.items()})
+        payload["time"] = np.float64(t)
+        payload["step"] = np.int64(model.step_count)
+        path = os.path.join(self.outdir, f"{self.prefix}.{t:012.2f}.npz")
+        np.savez(path, **payload)
+        return path
+
+    @staticmethod
+    def load(path):
+        """(state, carry, time, step) from a restart file."""
+        data = np.load(path)
+        state = {k[len("state_"):]: jnp.asarray(v)
+                 for k, v in data.items() if k.startswith("state_")}
+        carry = {k[len("carry_"):]: jnp.asarray(v)
+                 for k, v in data.items() if k.startswith("carry_")}
+        return (state, carry if carry else None,
+                float(data["time"]), int(data["step"]))

@@ -1,0 +1,166 @@
+"""Top-level model driver: component registry + main time loop.
+
+TPU-native analog of the reference ``Model`` class (``src/atm/Model.{h,cpp}``):
+owns the grid/geometry, timestep scheme, test case, output managers and
+workflow (physics) processes; ``go()`` is the ``Model::Go()`` main loop
+(``Model.cpp:316-518``) with per-phase timers and output scheduling;
+``compute_error_norms()`` is ``Model::ComputeErrorNorms`` (``:695-782``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import ModelConfig, EquationSet, GridKind
+from .models import nh_model, sw_model
+from .io.diagnostics import error_norms
+from .utils.timers import Timers
+from .utils.timeobj import parse_duration_seconds
+
+
+class WorkflowProcess:
+    """Periodic in-loop hook (reference ``WorkflowProcess.h:30-70``).
+
+    Subclass and override ``perform(model, t) -> new_state`` (pure update of
+    the state dict).  ``interval`` seconds of model time between firings
+    (0 = every step).
+    """
+
+    def __init__(self, interval: float = 0.0):
+        self.interval = float(interval)
+        self._last = None
+
+    def is_ready(self, t: float) -> bool:
+        if self.interval <= 0.0:
+            return True
+        if self._last is None:
+            self._last = t
+            return False
+        return t - self._last >= self.interval - 1e-9
+
+    def fire(self, model, t: float):
+        self._last = t
+        return self.perform(model, t)
+
+    def perform(self, model, t: float):
+        raise NotImplementedError
+
+
+class Model:
+    """One configured model run."""
+
+    def __init__(self, cfg: ModelConfig, testcase=None, topography=None,
+                 rayleigh=None, output_managers: Sequence = (),
+                 workflow_processes: Sequence[WorkflowProcess] = (),
+                 verbose: bool = False):
+        self.cfg = cfg
+        self.testcase = testcase
+        self.output_managers = list(output_managers)
+        self.workflow_processes = list(workflow_processes)
+        self.timers = Timers()
+        self.verbose = verbose
+        self.step_count = 0
+        self.time = 0.0
+        self.carry = None
+
+        if topography is None and testcase is not None:
+            topography = getattr(testcase, "topography", None)
+        if rayleigh is None and testcase is not None:
+            rayleigh = getattr(testcase, "rayleigh_strength", None)
+            if rayleigh is not None and not getattr(
+                    testcase, "rayleigh", False):
+                rayleigh = None
+        ztop = getattr(testcase, "ztop", None)
+
+        if cfg.equation_set == EquationSet.SHALLOW_WATER:
+            self.geom = sw_model.build_sw_geometry(cfg, topography)
+            self._sw_step = sw_model.make_sw_step(cfg, self.geom)
+        elif cfg.grid_kind == GridKind.CUBED_SPHERE:
+            self.geom = nh_model.build_nh_sphere_geometry(
+                cfg, topography=topography, ztop=ztop, rayleigh=rayleigh)
+        else:
+            self.geom = nh_model.build_nh_cartesian_geometry(
+                cfg, topography=topography, ztop=ztop, rayleigh=rayleigh)
+
+        self.state = None
+        self.reference = None
+        if testcase is not None:
+            self.state = testcase.initial_state(
+                self.geom, cfg.constants, dtype=cfg.dtype)
+            if hasattr(testcase, "reference_state"):
+                self.reference = testcase.reference_state(
+                    self.geom, cfg.constants, dtype=cfg.dtype)
+
+        if cfg.equation_set != EquationSet.SHALLOW_WATER:
+            self._first_step, self._step = nh_model.make_nh_step(
+                cfg, self.geom, ref_state=self.reference)
+
+    # ------------------------------------------------------------------
+    def set_state(self, state, carry=None, time=0.0, step=0):
+        self.state = state
+        self.carry = carry
+        self.time = time
+        self.step_count = step
+
+    def restart_from(self, path):
+        """Resume from a ``CompositeCheckpoint`` file."""
+        from .io.output import CompositeCheckpoint
+        state, carry, t, step = CompositeCheckpoint.load(path)
+        self.set_state(state, carry, t, step)
+
+    # ------------------------------------------------------------------
+    def _advance_one(self):
+        cfg = self.cfg
+        if cfg.equation_set == EquationSet.SHALLOW_WATER:
+            self.state = self._sw_step(self.state)
+        elif self.carry is None:
+            self.state, self.carry = self._first_step(self.state)
+        else:
+            self.state, self.carry = self._step(self.state, self.carry)
+        self.step_count += 1
+        self.time += cfg.dt
+
+    def go(self, end_time=None, nsteps: Optional[int] = None):
+        """Main loop: step + workflow hooks + scheduled output.
+
+        ``end_time``: duration string or seconds; or pass ``nsteps``.
+        """
+        if nsteps is None:
+            if end_time is None:
+                raise ValueError("need end_time or nsteps")
+            nsteps = int(round(parse_duration_seconds(end_time)
+                               / self.cfg.dt))
+
+        for om in self.output_managers:
+            if om.is_output_needed(self.time):
+                om.manage_output(self, self.time)
+
+        with self.timers.time("Loop"):
+            for _ in range(nsteps):
+                with self.timers.time("Step"):
+                    self._advance_one()
+                for wp in self.workflow_processes:
+                    if wp.is_ready(self.time):
+                        with self.timers.time("WorkflowProcess"):
+                            self.state = wp.fire(self, self.time)
+                for om in self.output_managers:
+                    if om.is_output_needed(self.time):
+                        with self.timers.time("Output"):
+                            om.manage_output(self, self.time)
+        if self.verbose:
+            self.timers.report()
+        return self.state
+
+    # ------------------------------------------------------------------
+    def compute_error_norms(self, reference=None):
+        """L1/L2/Linf error vs the test case reference state."""
+        ref = reference if reference is not None else self.reference
+        if ref is None:
+            raise ValueError("no reference state available")
+        area = (self.geom.area3d if "Rho" in self.state
+                else self.geom.area2d)
+        return error_norms(self.state, ref, area)

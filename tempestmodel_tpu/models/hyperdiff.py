@@ -112,17 +112,32 @@ def nu_local_scale(geom) -> float:
     return float((geom.delta_a / geom.reference_length) ** 3.2)
 
 
-def step_after_subcycle_nh(state, dt, cfg, geom, dss_state: Callable):
+def step_after_subcycle_nh(state, dt, cfg, geom, dss_state: Callable,
+                           ref_state=None):
     """nu4/nu2 hyperviscosity for the nonhydrostatic state (Strang tail).
 
     Reference ``StepAfterSubCycle`` (``HorizontalDynamicsFEM.cpp:2637-2726``):
     scalar (hyper)diffusion on Rt/W/Rho/tracers (each at its own vertical
     location/Jacobian), div/vort-split vector diffusion on U/V, with DSS
-    between and after the two passes.
+    between and after the two passes, followed by the tracer positivity
+    filter and (APPLY_RAYLEIGH_WITH_HYPERVIS) Rayleigh damping.
     """
+    from . import nonhydro as nh
+
+    def finish(s, with_dss):
+        # reference order: positivity filter -> DSS -> Rayleigh
+        if "Tracers" in s:
+            s = dict(s, Tracers=nh.filter_negative_tracers_horizontal(
+                s["Tracers"], geom))
+        if with_dss:
+            s = dss_state(s)
+        if cfg.rayleigh_damping and ref_state is not None:
+            s = nh.apply_rayleigh(s, geom, ref_state, dt)
+        return s
+
     if not cfg.hyperdiffusion or (
             cfg.nu_scalar == 0 and cfg.nu_div == 0 and cfg.nu_vort == 0):
-        return state
+        return finish(state, with_dss=False)
 
     scale = nu_local_scale(geom) if cfg.hypervis_order == 4 else 1.0
     nu_s = cfg.nu_scalar * scale
@@ -151,7 +166,7 @@ def step_after_subcycle_nh(state, dt, cfg, geom, dss_state: Callable):
             out[k] = state[k] + v
         out["U"] = state["U"] - dt * du
         out["V"] = state["V"] - dt * dv
-        return dss_state(out)
+        return finish(out, with_dss=True)
 
     # ---- order 4: Lap pass -> DSS -> -dt * nu_local * Lap pass -> DSS ----
     work = scalar_parts(state, 1.0, 1.0)
@@ -167,7 +182,7 @@ def step_after_subcycle_nh(state, dt, cfg, geom, dss_state: Callable):
         out[k] = state[k] + v
     out["U"] = state["U"] + dt * du
     out["V"] = state["V"] + dt * dv
-    return dss_state(out)
+    return finish(out, with_dss=True)
 
 
 def step_after_subcycle_sw(state, dt, cfg, geom: CubedSphereGeometry,

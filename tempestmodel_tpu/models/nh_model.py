@@ -20,13 +20,13 @@ from ..timestep.strang import make_strang_step
 
 
 def build_nh_cartesian_geometry(cfg: ModelConfig, topography=None,
-                                ztop: float = None):
+                                ztop: float = None, rayleigh=None):
     return cart.build_cartesian_geometry(
         nex=cfg.nex, ney=cfg.ney, p=cfg.order, nz=cfg.nz,
         x_extent=cfg.x_extent, y_extent=cfg.y_extent,
         ztop=ztop if ztop is not None else cfg.ztop,
         constants=cfg.constants, vertical_order=cfg.vertical_order,
-        topography=topography,
+        topography=topography, rayleigh=rayleigh,
         is_xz=(cfg.grid_kind == GridKind.CARTESIAN_XZ),
         dtype=cfg.dtype)
 
@@ -46,12 +46,12 @@ def make_cartesian_dss(geom) -> Callable:
 
 
 def build_nh_sphere_geometry(cfg: ModelConfig, topography=None,
-                             ztop: float = None):
+                             ztop: float = None, rayleigh=None):
     return sphere_geom.build_geometry(
         ne=cfg.ne, p=cfg.order, constants=cfg.constants, nz=cfg.nz,
         ztop=ztop if ztop is not None else cfg.ztop,
         topography=topography, vertical_order=cfg.vertical_order,
-        dtype=cfg.dtype)
+        rayleigh=rayleigh, dtype=cfg.dtype)
 
 
 def make_sphere_dss(geom) -> Callable:
@@ -73,13 +73,13 @@ def make_sphere_dss(geom) -> Callable:
     return dss_state
 
 
-def make_nh_step(cfg: ModelConfig, geom):
+def make_nh_step(cfg: ModelConfig, geom, ref_state=None):
     """(first_step, step) jitted Strang-HEVI steppers for this config."""
     if cfg.grid_kind == GridKind.CUBED_SPHERE:
         dss_state = make_sphere_dss(geom)
     else:
         dss_state = make_cartesian_dss(geom)
-    return make_strang_step(cfg, geom, dss_state)
+    return make_strang_step(cfg, geom, dss_state, ref_state)
 
 
 def run_nh(cfg: ModelConfig, state, nsteps: int, geom):

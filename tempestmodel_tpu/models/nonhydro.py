@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -168,10 +169,11 @@ def horizontal_tendency(state, geom, constants):
     out = {"U": dU, "V": dV, "Rt": dRt, "W": dW, "Rho": dRho}
 
     if "Tracers" in state:
-        tr = state["Tracers"]
-        out["Tracers"] = -sem.weak_div(
-            base_a[None] * tr, base_b[None] * tr, S,
-            nea, neb, p, da, db) / geom.jac3d[None]
+        tr = jnp.moveaxis(state["Tracers"], 0, -1)   # (P, A, B, nz, ntr)
+        dtr = -sem.weak_div(
+            base_a[..., None] * tr, base_b[..., None] * tr, S,
+            nea, neb, p, da, db) / geom.jac3d[..., None]
+        out["Tracers"] = jnp.moveaxis(dtr, -1, 0)
     return out
 
 
@@ -289,13 +291,8 @@ def _column_residual(x, aux, geom_mats, constants, dt, nz):
     return f + (x - aux["x0"]) / dt
 
 
-def vertical_implicit(state, geom, constants, dt, newton_iters: int = 1):
-    """Batched HEVI implicit column update of (Rt, W, Rho).
-
-    One Newton step with the AD-exact Jacobian, solved densely per column
-    (batched LU over all columns).  Reference: ``StepImplicit``
-    (``VerticalDynamicsFEM.cpp:1230-1464``) with USE_DIRECTSOLVE.
-    """
+def _implicit_aux(state, geom):
+    """Flattened per-column fixed inputs + initial vector for the solve."""
     nz = geom.nz
     P, A, B = state["Rho"].shape[:3]
     ncol = P * A * B
@@ -350,21 +347,197 @@ def vertical_implicit(state, geom, constants, dt, newton_iters: int = 1):
         "wscat_left": geom.wscat_left, "wscat_right": geom.wscat_right,
         "vo": geom.vo,
     }
+    return x0, aux, gmats, (P, A, B)
+
+
+def estimate_bandwidth(geom, constants) -> int:
+    """Half-bandwidth of the interleaved column Jacobian (host-side, once).
+
+    The analog of the reference's hand-maintained bandwidth table
+    (``VerticalDynamicsFEM.cpp:165-200``), derived numerically from the AD
+    Jacobian of one synthetic column instead.
+    """
+    from . import vertical_banded as vb
+    nz = geom.nz
+    P, A, B = geom.jac3d.shape[:3]
+    i, j = A // 2, B // 2
+    rng = np.random.default_rng(0)
+    shape3 = geom.jac3d.shape[:3]
+    lev = jnp.asarray(
+        np.broadcast_to(1.0 + 0.3 * rng.random(nz), shape3 + (nz,)))
+    state = {
+        "U": 10.0 * lev, "V": 5.0 * lev,
+        "Rt": 300.0 * lev,
+        "W": jnp.asarray(np.broadcast_to(
+            0.1 * (1.0 + rng.random(nz + 1)), shape3 + (nz + 1,))),
+        "Rho": lev,
+    }
+    x0, aux, gmats, _ = _implicit_aux(state, geom)
+    col = P * A * B // 2
+    aux_one = {k: (v[col] if hasattr(v, "ndim") and v.ndim > 1 else v)
+               for k, v in aux.items()}
+
+    def resid_one(x):
+        return _column_residual(x, aux_one, gmats, constants, 100.0, nz)
+
+    return vb.compute_bandwidth(resid_one, x0[col])
+
+
+def vertical_implicit(state, geom, constants, dt, newton_iters: int = 1,
+                      solver: str = "dense", q: int = 4):
+    """Batched HEVI implicit column update of (Rt, W, Rho).
+
+    One Newton step with the AD-exact Jacobian; ``solver`` selects the
+    dense per-column LU (robust; tests) or the banded-coloring path
+    (TPU fast path; see ``vertical_banded``).  Reference: ``StepImplicit``
+    (``VerticalDynamicsFEM.cpp:1230-1464``) with USE_DIRECTSOLVE.
+    """
+    nz = geom.nz
+    x0, aux, gmats, (P, A, B) = _implicit_aux(state, geom)
 
     def resid(x, a):
         return _column_residual(x, a, gmats, constants, dt, nz)
 
-    def newton_one(x, a):
-        f = resid(x, a)
-        J = jax.jacfwd(lambda xx: resid(xx, a))(x)
-        return x - jnp.linalg.solve(J, f)
-
     x = x0
-    for _ in range(newton_iters):
-        x = jax.vmap(newton_one)(x, aux)
+    if solver == "banded":
+        from . import vertical_banded as vb
+
+        def batched_resid(xs):
+            return jax.vmap(resid)(xs, aux)
+
+        for _ in range(newton_iters):
+            x = vb.banded_newton_update(batched_resid, x, q, nz)
+    else:
+        def newton_one(xx, a):
+            f = resid(xx, a)
+            J = jax.jacfwd(lambda y: resid(y, a))(xx)
+            return xx - jnp.linalg.solve(J, f)
+
+        for _ in range(newton_iters):
+            x = jax.vmap(newton_one)(x, aux)
 
     n = nz
     rt = x[:, :n].reshape(P, A, B, nz)
     w = x[:, n:2 * n + 1].reshape(P, A, B, nz + 1)
     rho = x[:, 2 * n + 1:].reshape(P, A, B, nz)
-    return dict(state, Rt=rt, W=w, Rho=rho)
+    out = dict(state, Rt=rt, W=w, Rho=rho)
+
+    if "Tracers" in state:
+        out["Tracers"] = update_column_tracers(
+            state, w, geom, dt)
+    return out
+
+
+def update_column_tracers(state, w_new, geom, dt):
+    """Implicit vertical tracer-density update with LU reuse semantics.
+
+    Reference ``VerticalDynamicsFEM::UpdateColumnTracers``
+    (``VerticalDynamicsFEM.cpp:3783-4262``): the tracer system is linear,
+    J = I/dt + (1/J_n) D_i2n diag(J_i u^xi_new) I_n2i - upwind(|u^xi_0|),
+    with F built from the initial tracer density and the updated u^xi;
+    q_new = q_0 - J^{-1} F.  Solved batched-dense over columns (nz x nz).
+    """
+    nz = geom.nz
+    tr = state["Tracers"]                      # (ntr, P, A, B, nz)
+    u_i = colop(geom.interp_n2i, state["U"])
+    v_i = colop(geom.interp_n2i, state["V"])
+    xid0 = xidot_interfaces(geom, u_i, v_i, state["W"])
+    xid_new = xidot_interfaces(geom, u_i, v_i, w_new)
+
+    jac_i = geom.jac3d_int
+    inv_jac = 1.0 / geom.jac3d
+
+    # Flux operator rows: M0 = (1/J_n) D_i2n diag(J_i xid) I_n2i, batched
+    # over grid points via einsum (K=node out, M=interface, L=node in).
+    flux_op = jnp.einsum(
+        "...K,KM,...M,ML->...KL", inv_jac, geom.diff_i2n,
+        jac_i * xid_new, geom.interp_n2i)
+
+    # upwinding (weights from the *initial* xidot)
+    vo = geom.vo
+    nfe = nz // vo
+    if nfe > 1:
+        wb = jnp.abs(xid0[..., vo:nz:vo])
+        wl = jnp.einsum("KA,...A->...K", geom.wscat_left, wb)
+        wr = jnp.einsum("KA,...A->...K", geom.wscat_right, wb)
+        pen_op = (wl[..., None] * geom.penalty_left
+                  + wr[..., None] * geom.penalty_right)
+    else:
+        pen_op = 0.0
+
+    J = (flux_op - pen_op
+         + jnp.eye(nz, dtype=tr.dtype) / dt)
+
+    # F: flux divergence of the initial tracer with updated velocity,
+    # minus the upwinding penalty of the initial tracer.
+    tr_i = colop(geom.interp_n2i, tr)
+    mf = (jac_i * xid_new)[None] * tr_i
+    mf = mf.at[..., 0].set(0.0).at[..., -1].set(0.0)
+    F = colop(geom.diff_i2n, mf) * inv_jac[None]
+    if nfe > 1:
+        F = F - (colop(geom.penalty_left, tr) * wl[None]
+                 + colop(geom.penalty_right, tr) * wr[None])
+
+    sol = jnp.linalg.solve(
+        jnp.broadcast_to(J[None], (tr.shape[0],) + J.shape),
+        F[..., None])[..., 0]
+    return tr - sol
+
+
+def filter_negative_tracers_horizontal(tracers, geom):
+    """Mass-conservative per-element horizontal positivity filter.
+
+    Reference ``HorizontalDynamicsFEM::FilterNegativeTracers``
+    (``HorizontalDynamicsFEM.cpp:213-320``): per spectral element and level,
+    zero negative nodes and rescale the positive ones to conserve the
+    element mass.
+    """
+    nea, neb, p = geom.nea, geom.neb, geom.p
+    ntr = tracers.shape[0]
+    shp = tracers.shape
+    area = jnp.broadcast_to(geom.area3d[None], shp)
+
+    def split(f):
+        return f.reshape(ntr, shp[1], nea, p, neb, p, shp[-1])
+
+    tr_e = split(tracers)
+    ar_e = split(area)
+    total = jnp.sum(tr_e * ar_e, axis=(3, 5), keepdims=True)
+    pos = jnp.maximum(tr_e, 0.0)
+    pos_mass = jnp.sum(pos * ar_e, axis=(3, 5), keepdims=True)
+    ratio = jnp.where(pos_mass > 0.0, total / pos_mass, 0.0)
+    return (pos * jnp.maximum(ratio, 0.0)).reshape(shp)
+
+
+def apply_rayleigh(state, geom, ref_state, dt, n_cycles: int = 10):
+    """Subcycled backward-Euler Rayleigh relaxation towards the reference.
+
+    Reference ``HorizontalDynamicsFEM::ApplyRayleighFriction``
+    (``HorizontalDynamicsFEM.cpp:2420-2570``): 10 subcycles of
+    u <- u/(1 + dt nu / 10) + (1 - 1/(1 + dt nu / 10)) u_ref, applied to
+    U, V (not on XZ slices), Rt and W — never Rho.
+    """
+    fac_lev = (1.0 / (1.0 + dt * geom.rayleigh_lev / n_cycles)) ** n_cycles
+    fac_int = (1.0 / (1.0 + dt * geom.rayleigh_int / n_cycles)) ** n_cycles
+    out = dict(state)
+    comps = ["U", "Rt"] if geom.is_xz else ["U", "V", "Rt"]
+    for c in comps:
+        out[c] = fac_lev * state[c] + (1.0 - fac_lev) * ref_state[c]
+    out["W"] = fac_int * state["W"] + (1.0 - fac_int) * ref_state["W"]
+    return out
+
+
+def filter_negative_tracers_column(tracers, geom):
+    """Mass-conservative column positivity filter.
+
+    Reference ``VerticalDynamicsFEM::FilterNegativeTracers``
+    (``VerticalDynamicsFEM.cpp:4286-4349``): negative nodes are zeroed and
+    the lost mass is removed proportionally from the positive nodes of the
+    same column.
+    """
+    area = geom.area3d[None]
+    total = jnp.sum(tracers * area, axis=-1, keepdims=True)
+    pos = jnp.maximum(tracers, 0.0)
+    pos_mass = jnp.sum(pos * area, axis=-1, keepdims=True)
+    ratio = jnp.where(pos_mass > 0.0, total / pos_mass, 0.0)
+    return pos * jnp.maximum(ratio, 0.0)

@@ -88,8 +88,8 @@ class BaroclinicWaveUMJS:
         if with_pert:
             ulon = ulon + self._perturbation_ulon(z, lon, lat)
         rho = pres / (c.Rd * temp)
-        rt = np.asarray(jnp.asarray(
-            c.rhotheta_from_pressure(jnp.asarray(pres))))
+        # host-side numpy rhotheta_from_pressure (PhysicalConstants.h:394)
+        rt = np.exp(np.log(pres / c.pressure_scaling) / c.gamma)
         return ulon, rho, rt
 
     def initial_state(self, geom: CubedSphereGeometry,

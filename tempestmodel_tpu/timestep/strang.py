@@ -22,10 +22,13 @@ from ..models import hyperdiff
 from .explicit import erk_substep, tree_axpy
 
 
-def make_strang_step(cfg: ModelConfig, geom, dss_state: Callable):
+def make_strang_step(cfg: ModelConfig, geom, dss_state: Callable,
+                     ref_state=None):
     """Returns (first_step, step) jitted functions.
 
     first_step(state) -> (state, carry);  step(state, carry) -> (state, carry)
+    ``ref_state``: reference state for Rayleigh damping (APPLY_RAYLEIGH_WITH_
+    HYPERVIS) and uniform diffusion.
     """
     constants = cfg.constants
     dt = cfg.dt
@@ -40,14 +43,25 @@ def make_strang_step(cfg: ModelConfig, geom, dss_state: Callable):
         upd = nonhydro.apply_w_boundary(upd, geom)
         return dss_state(upd)
 
+    if cfg.vertical_solver == "banded":
+        q = nonhydro.estimate_bandwidth(geom, constants)
+    else:
+        q = 0
+
     def implicit(s, dti):
-        return nonhydro.vertical_implicit(
-            s, geom, constants, dti, newton_iters=cfg.newton_iterations)
+        out = nonhydro.vertical_implicit(
+            s, geom, constants, dti, newton_iters=cfg.newton_iterations,
+            solver=cfg.vertical_solver, q=q)
+        if "Tracers" in out:
+            out = dict(out, Tracers=nonhydro.filter_negative_tracers_column(
+                out["Tracers"], geom))
+        return out
 
     def tail(state):
         """Explicit RK + hyperdiffusion + closing implicit (shared path)."""
         u4 = erk_substep(cfg.explicit_scheme, state, dt, stage)
-        u1 = hyperdiff.step_after_subcycle_nh(u4, dt, cfg, geom, dss_state)
+        u1 = hyperdiff.step_after_subcycle_nh(u4, dt, cfg, geom, dss_state,
+                                              ref_state)
         u0 = implicit(u1, 0.5 * (1.0 + oc) * dt)
         if oc != 0.0:
             u0 = jax.tree_util.tree_map(
@@ -63,6 +77,9 @@ def make_strang_step(cfg: ModelConfig, geom, dss_state: Callable):
     @jax.jit
     def step(state, carry):
         state = jax.tree_util.tree_map(lambda a, b: a + b, state, carry)
+        if "Tracers" in state:
+            state = dict(state, Tracers=nonhydro.filter_negative_tracers_column(
+                state["Tracers"], geom))
         return tail(state)
 
     return first_step, step

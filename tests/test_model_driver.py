@@ -1,0 +1,109 @@
+"""Tests for the Model driver, output managers, and physics hooks."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tempestmodel_tpu.config import ModelConfig, EquationSet, GridKind
+from tempestmodel_tpu.model import Model
+from tempestmodel_tpu.io.output import (ChecksumOutput, EnergyOutput,
+                                        ReferenceOutput, CompositeCheckpoint)
+from tempestmodel_tpu.testcases.shallow_water import Williamson2
+from tempestmodel_tpu.testcases.nonhydro_xz import ThermalBubble
+from tempestmodel_tpu.testcases.nonhydro_sphere import BaroclinicWaveUMJS
+
+
+def test_sw_model_go_and_error_norms(tmp_path):
+    cfg = ModelConfig(equation_set=EquationSet.SHALLOW_WATER, ne=8, order=4,
+                      dt=400.0, hyperdiffusion=False)
+    cks = ChecksumOutput(interval=1600.0)
+    en = EnergyOutput(interval=1600.0)
+    m = Model(cfg, Williamson2(), output_managers=[cks, en])
+    m.go(end_time="4000s")
+    assert m.step_count == 10
+    norms = m.compute_error_norms()
+    assert float(norms["H"]["l2_rel"]) < 1e-5
+    assert len(cks.records) >= 3
+    assert len(en.records) >= 3
+    # energy invariant across the stream
+    es = [r["energy"] for r in en.records]
+    assert abs(es[-1] / es[0] - 1.0) < 1e-9
+    assert "Loop" in m.timers.as_dict()
+
+
+def test_nh_model_checkpoint_restart(tmp_path):
+    tc = ThermalBubble()
+    cfg = ModelConfig(grid_kind=GridKind.CARTESIAN_XZ, nex=8, ney=1, order=4,
+                      nz=16, ztop=tc.ztop, x_extent=tc.x_extent,
+                      y_extent=tc.y_extent, dt=0.1, hyperdiffusion=False,
+                      equation_set=EquationSet.PRIMITIVE_NONHYDRO)
+    ckpt = CompositeCheckpoint(interval=0.5, outdir=str(tmp_path))
+    m = Model(cfg, tc, output_managers=[ckpt])
+    m.go(nsteps=10)
+    s_direct = {k: np.asarray(v) for k, v in m.state.items()}
+
+    files = sorted(os.listdir(tmp_path))
+    assert files, "no checkpoint written"
+    # restart from an intermediate checkpoint and rerun to the same step
+    m2 = Model(cfg, tc)
+    m2.restart_from(os.path.join(tmp_path, files[0]))
+    assert m2.step_count < 10
+    m2.go(nsteps=10 - m2.step_count)
+    for k in s_direct:
+        np.testing.assert_allclose(
+            np.asarray(m2.state[k]), s_direct[k], rtol=0, atol=1e-12,
+            err_msg=f"restart mismatch in {k}")
+
+
+def test_latlon_reference_output(tmp_path):
+    tc = BaroclinicWaveUMJS()
+    cfg = ModelConfig(grid_kind=GridKind.CUBED_SPHERE, ne=4, order=4, nz=8,
+                      ztop=tc.ztop, dt=300.0, hyperdiffusion=False,
+                      equation_set=EquationSet.PRIMITIVE_NONHYDRO)
+    ro = ReferenceOutput(interval=300.0, outdir=str(tmp_path),
+                         nlat=19, nlon=36)
+    m = Model(cfg, tc, output_managers=[ro])
+    m.go(nsteps=1)
+    files = [f for f in os.listdir(tmp_path) if f.endswith(".npz")]
+    assert files
+    d = np.load(os.path.join(tmp_path, sorted(files)[0]))
+    assert d["U"].shape == (19, 36, 8)
+    assert d["T"].shape == (19, 36, 8)
+    # zonal jet: |U| peaks in midlatitudes, T in a physical range
+    assert 150.0 < d["T"].min() and d["T"].max() < 350.0
+    assert np.nanmax(np.abs(d["U"])) < 60.0
+    # interpolated jet should be close to the analytic profile at jet level
+    assert np.nanmax(d["U"]) > 10.0
+
+
+def test_latlon_interp_exactness():
+    """Lat-lon interpolation reproduces smooth analytic fields."""
+    from tempestmodel_tpu.io.latlon import build_latlon_interp
+    from tempestmodel_tpu.models import sw_model
+    cfg = ModelConfig(ne=8, order=4)
+    geom = sw_model.build_sw_geometry(cfg)
+    it = build_latlon_interp(geom, 37, 72)
+    # x*z spherical harmonic: smooth everywhere incl. the poles
+    f = jnp.sin(geom.lat) * jnp.cos(geom.lat) * jnp.cos(geom.lon)
+    out = np.asarray(it.scalar(f))
+    LON, LAT = np.meshgrid(it.lon, it.lat)
+    np.testing.assert_allclose(out, np.sin(LAT) * np.cos(LAT) * np.cos(LON),
+                               atol=5e-5)
+
+
+def test_held_suarez_physics_smoke():
+    from tempestmodel_tpu.physics.held_suarez import HeldSuarezPhysics
+    tc = BaroclinicWaveUMJS()
+    cfg = ModelConfig(grid_kind=GridKind.CUBED_SPHERE, ne=4, order=4, nz=8,
+                      ztop=tc.ztop, dt=300.0, hyperdiffusion=True,
+                      nu_scalar=1e16, nu_div=1e16, nu_vort=1e16,
+                      equation_set=EquationSet.PRIMITIVE_NONHYDRO)
+    hs = HeldSuarezPhysics(interval=0.0)   # every step
+    m = Model(cfg, tc, workflow_processes=[hs])
+    m.go(nsteps=5)
+    assert np.isfinite(np.asarray(m.state["Rt"])).all()
+    # friction + relaxation must keep the state physical
+    theta = np.asarray(m.state["Rt"] / m.state["Rho"])
+    assert theta.min() > 150.0
