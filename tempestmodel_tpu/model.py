@@ -15,7 +15,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .config import ModelConfig, EquationSet, GridKind
+from .config import (ModelConfig, EquationSet, GridKind,
+                     TimestepSchemeType)
 from .models import nh_model, sw_model
 from .io.diagnostics import error_norms
 from .utils.timers import Timers
@@ -96,8 +97,13 @@ class Model:
                     self.geom, cfg.constants, dtype=cfg.dtype)
 
         if cfg.equation_set != EquationSet.SHALLOW_WATER:
-            self._first_step, self._step = nh_model.make_nh_step(
-                cfg, self.geom, ref_state=self.reference)
+            if cfg.timescheme == TimestepSchemeType.STRANG:
+                self._first_step, self._step = nh_model.make_nh_step(
+                    cfg, self.geom, ref_state=self.reference)
+                self._imex_step = None
+            else:
+                self._imex_step = nh_model.make_nh_imex_step(
+                    cfg, self.geom, ref_state=self.reference)
 
     # ------------------------------------------------------------------
     def set_state(self, state, carry=None, time=0.0, step=0):
@@ -117,6 +123,8 @@ class Model:
         cfg = self.cfg
         if cfg.equation_set == EquationSet.SHALLOW_WATER:
             self.state = self._sw_step(self.state)
+        elif self._imex_step is not None:
+            self.state = self._imex_step(self.state)
         elif self.carry is None:
             self.state, self.carry = self._first_step(self.state)
         else:

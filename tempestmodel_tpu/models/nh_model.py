@@ -12,7 +12,7 @@ from typing import Callable
 
 import jax
 
-from ..config import ModelConfig, GridKind
+from ..config import ModelConfig, GridKind, TimestepSchemeType
 from ..grid import cartesian as cart
 from ..grid import geometry as sphere_geom
 from ..parallel import dss as sphere_dss
@@ -80,6 +80,16 @@ def make_nh_step(cfg: ModelConfig, geom, ref_state=None):
     else:
         dss_state = make_cartesian_dss(geom)
     return make_strang_step(cfg, geom, dss_state, ref_state)
+
+
+def make_nh_imex_step(cfg: ModelConfig, geom, ref_state=None):
+    """Jitted IMEX-ARK stepper (self-starting): state -> state."""
+    from ..timestep.imex import make_imex_step
+    if cfg.grid_kind == GridKind.CUBED_SPHERE:
+        dss_state = make_sphere_dss(geom)
+    else:
+        dss_state = make_cartesian_dss(geom)
+    return make_imex_step(cfg, geom, dss_state, ref_state)
 
 
 def run_nh(cfg: ModelConfig, state, nsteps: int, geom):

@@ -107,3 +107,22 @@ def test_held_suarez_physics_smoke():
     # friction + relaxation must keep the state physical
     theta = np.asarray(m.state["Rt"] / m.state["Rho"])
     assert theta.min() > 150.0
+
+
+@pytest.mark.parametrize("scheme", ["ars222", "ars232", "ark232", "ars343",
+                                    "ars443", "ssp3332"])
+def test_imex_schemes_bubble(scheme):
+    """Every IMEX-ARK scheme integrates the thermal bubble stably."""
+    from tempestmodel_tpu.config import TimestepSchemeType
+    tc = ThermalBubble()
+    cfg = ModelConfig(grid_kind=GridKind.CARTESIAN_XZ, nex=8, ney=1, order=4,
+                      nz=16, ztop=tc.ztop, x_extent=tc.x_extent,
+                      y_extent=tc.y_extent, dt=0.1, hyperdiffusion=False,
+                      equation_set=EquationSet.PRIMITIVE_NONHYDRO,
+                      timescheme=TimestepSchemeType(scheme))
+    m = Model(cfg, tc)
+    m.go(nsteps=20)
+    thp = np.asarray(m.state["Rt"] / m.state["Rho"]) - 300.0
+    assert np.isfinite(thp).all()
+    assert thp.max() < 0.7
+    assert thp.min() > -0.3
