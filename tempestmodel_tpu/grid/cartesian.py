@@ -144,6 +144,20 @@ class CartesianGeometry:
         return self.ney
 
 
+def _eval_rayleigh(rayleigh, z, x, y):
+    """Evaluate a Rayleigh strength callable of (z[, x, y]) on the grid."""
+    if rayleigh is None:
+        return np.zeros(z.shape)
+    import inspect
+    nargs = len([p for p in inspect.signature(rayleigh).parameters.values()
+                 if p.default is inspect.Parameter.empty])
+    if nargs >= 2:
+        xb = np.broadcast_to(x[None, :, None, None], z.shape)
+        yb = np.broadcast_to(y[None, None, :, None], z.shape)
+        return np.asarray(rayleigh(z, xb, yb))
+    return np.asarray(rayleigh(z))
+
+
 def build_cartesian_geometry(
     nex: int,
     ney: int,
@@ -269,12 +283,10 @@ def build_cartesian_geometry(
         con_xi_xi_int=cast(cx_i),
         area3d=cast(area3d), area3d_int=cast(area3d_int),
         z_lev=cast(z_lev), z_int=cast(z_int),
-        rayleigh_lev=cast(rayleigh(np.broadcast_to(z_lev, jac3d.shape))
-                          if rayleigh is not None
-                          else np.zeros(jac3d.shape)),
-        rayleigh_int=cast(rayleigh(np.broadcast_to(z_int, jac3d_int.shape))
-                          if rayleigh is not None
-                          else np.zeros(jac3d_int.shape)),
+        rayleigh_lev=cast(_eval_rayleigh(
+            rayleigh, np.broadcast_to(z_lev, jac3d.shape), x, y)),
+        rayleigh_int=cast(_eval_rayleigh(
+            rayleigh, np.broadcast_to(z_int, jac3d_int.shape), x, y)),
         interp_n2i=cast(ops.interp_n2i), interp_i2n=cast(ops.interp_i2n),
         diff_n2n=cast(ops.diff_n2n), diff_n2n_zb=cast(ops.diff_n2n_zb),
         diff_n2i=cast(ops.diff_n2i), diff_i2n=cast(ops.diff_i2n),

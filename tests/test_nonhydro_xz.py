@@ -142,3 +142,50 @@ def test_rayleigh_damping_relaxes(bubble_setup):
     w_damped = float(jnp.abs(s["W"][..., -8:]).max())
     w_undamped = float(jnp.abs(sn["W"][..., -8:]).max())
     assert w_damped < 0.3 * w_undamped
+
+
+def test_schar_mountain_waves():
+    """Terrain-following metric: flow over the Schar mountain produces
+    bounded mountain waves (exercises topography + Rayleigh sponge)."""
+    from tempestmodel_tpu.testcases.nonhydro_xz import ScharMountain
+    from tempestmodel_tpu.model import Model
+    from tempestmodel_tpu.config import EquationSet
+    tc = ScharMountain()
+    cfg = ModelConfig(grid_kind=GridKind.CARTESIAN_XZ, nex=20, ney=1,
+                      order=4, nz=20, ztop=tc.ztop, x_extent=tc.x_extent,
+                      y_extent=tc.y_extent, dt=1.0, hyperdiffusion=True,
+                      nu_scalar=1e7, nu_div=1e7, nu_vort=1e7,
+                      rayleigh_damping=True,
+                      equation_set=EquationSet.PRIMITIVE_NONHYDRO)
+    m = Model(cfg, tc)
+    # terrain is seen by the metric
+    assert float(np.abs(np.asarray(m.geom.topo)).max()) > 100.0
+    assert float(np.abs(np.asarray(m.geom.con_a_xi)).max()) > 0.0
+    m.go(nsteps=120)   # 2 minutes
+    w_phys = np.asarray(m.state["W"] / m.geom.deriv_r_int[..., 2])
+    assert np.isfinite(w_phys).all()
+    # waves develop over the mountain but remain bounded
+    assert 1e-3 < np.abs(w_phys).max() < 10.0
+    theta = np.asarray(m.state["Rt"] / m.state["Rho"])
+    assert theta.min() > 200.0
+
+
+def test_density_current_develops():
+    from tempestmodel_tpu.testcases.nonhydro_xz import DensityCurrent
+    from tempestmodel_tpu.model import Model
+    from tempestmodel_tpu.config import EquationSet
+    tc = DensityCurrent()
+    cfg = ModelConfig(grid_kind=GridKind.CARTESIAN_XZ, nex=16, ney=1,
+                      order=4, nz=16, ztop=tc.ztop, x_extent=tc.x_extent,
+                      y_extent=tc.y_extent, dt=0.25, hyperdiffusion=True,
+                      nu_scalar=1e7, nu_div=1e7, nu_vort=1e7,
+                      rayleigh_damping=True,
+                      equation_set=EquationSet.PRIMITIVE_NONHYDRO)
+    m = Model(cfg, tc)
+    m.go(nsteps=120)   # 30 s
+    thp = np.asarray(m.state["Rt"] / m.state["Rho"]) - 300.0
+    assert np.isfinite(thp).all()
+    # cold blob descends: negative perturbation persists, downdraft forms
+    assert thp.min() < -2.0
+    w_phys = np.asarray(m.state["W"] / m.geom.deriv_r_int[..., 2])
+    assert w_phys.min() < -0.5          # sinking air
