@@ -1,0 +1,174 @@
+"""Command-line front end: the Tempest CLI analog.
+
+The reference builds one binary per test case with a shared flag set
+(``src/atm/TempestInitialize.h:112-144``, ``src/base/CommandLine.h``).
+Here one entry point selects the case by name and exposes the same
+standard flags::
+
+    python -m tempestmodel_tpu --case thermal_bubble --dt 0.01s \
+        --endtime 700s --resolution 36 --levels 72 --order 4 \
+        --output_dir out --output_dt 10s
+
+Cases: sw_tc2, sw_tc5, sw_rh4, sw_galewsky, thermal_bubble,
+density_current, schar, inertia_gravity, umjs, umjs_pert, held_suarez.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax.numpy as jnp
+
+from .config import (ModelConfig, EquationSet, GridKind, TimestepSchemeType,
+                     ExplicitSubScheme)
+from .model import Model
+from .io.output import (ChecksumOutput, EnergyOutput, ReferenceOutput,
+                        CompositeCheckpoint)
+from .utils.timeobj import parse_duration_seconds
+
+
+def _build_case(name: str, args):
+    """(testcase, cfg overrides dict, workflow list)."""
+    from .testcases import shallow_water as sw
+    from .testcases import nonhydro_xz as nxz
+    from .testcases import nonhydro_sphere as nsp
+
+    wps = []
+    if name == "sw_tc2":
+        return sw.Williamson2(), dict(
+            equation_set=EquationSet.SHALLOW_WATER), wps
+    if name == "sw_tc5":
+        return sw.Williamson5(), dict(
+            equation_set=EquationSet.SHALLOW_WATER), wps
+    if name == "sw_rh4":
+        return sw.RossbyHaurwitz(), dict(
+            equation_set=EquationSet.SHALLOW_WATER), wps
+    if name == "sw_galewsky":
+        return sw.BarotropicInstability(), dict(
+            equation_set=EquationSet.SHALLOW_WATER), wps
+    if name == "thermal_bubble":
+        tc = nxz.ThermalBubble()
+    elif name == "density_current":
+        tc = nxz.DensityCurrent()
+    elif name == "schar":
+        tc = nxz.ScharMountain()
+    elif name == "inertia_gravity":
+        tc = nxz.InertiaGravityWave()
+    elif name in ("umjs", "umjs_pert", "held_suarez"):
+        tc = nsp.BaroclinicWaveUMJS(
+            pert="exp" if name == "umjs_pert" else "none",
+            rayleigh=(name != "held_suarez"))
+        over = dict(equation_set=EquationSet.PRIMITIVE_NONHYDRO,
+                    grid_kind=GridKind.CUBED_SPHERE,
+                    rayleigh_damping=tc.rayleigh)
+        if name == "held_suarez":
+            from .physics.held_suarez import HeldSuarezPhysics
+            wps.append(HeldSuarezPhysics(interval=0.0))
+        return tc, over, wps
+    else:
+        raise SystemExit(f"unknown case {name!r}")
+    return tc, dict(
+        equation_set=EquationSet.PRIMITIVE_NONHYDRO,
+        grid_kind=GridKind.CARTESIAN_XZ,
+        x_extent=tc.x_extent, y_extent=tc.y_extent, ztop=tc.ztop,
+        rayleigh_damping=getattr(tc, "rayleigh", False)), wps
+
+
+def make_parser():
+    ap = argparse.ArgumentParser(prog="tempestmodel_tpu")
+    ap.add_argument("--case", required=True)
+    # standard model flags (TempestInitialize.h:112-144)
+    ap.add_argument("--resolution", type=int, default=None,
+                    help="elements per cube edge / x elements")
+    ap.add_argument("--resolution_y", type=int, default=None)
+    ap.add_argument("--levels", type=int, default=None)
+    ap.add_argument("--order", type=int, default=4)
+    ap.add_argument("--vertorder", type=int, default=1)
+    ap.add_argument("--dt", default=None)
+    ap.add_argument("--endtime", default=None)
+    ap.add_argument("--nsteps", type=int, default=None)
+    ap.add_argument("--timescheme", default="strang")
+    ap.add_argument("--explicitscheme", default="kgu35")
+    ap.add_argument("--nu", type=float, default=1.0e15)
+    ap.add_argument("--nud", type=float, default=1.0e15)
+    ap.add_argument("--nuv", type=float, default=1.0e15)
+    ap.add_argument("--hypervisorder", type=int, default=4)
+    ap.add_argument("--nohypervis", action="store_true")
+    ap.add_argument("--norayleigh", action="store_true")
+    ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--output_dir", default=None)
+    ap.add_argument("--output_dt", default=None)
+    ap.add_argument("--output_restart_dt", default=None)
+    ap.add_argument("--restart_file", default=None)
+    ap.add_argument("--checksum_dt", default=None)
+    ap.add_argument("--verbose", action="store_true")
+    return ap
+
+
+def main(argv=None):
+    args = make_parser().parse_args(argv)
+    if not args.fp32:
+        import jax
+        jax.config.update("jax_enable_x64", True)
+    tc, over, wps = _build_case(args.case, args)
+
+    kw = dict(over)
+    if args.resolution is not None:
+        if kw.get("grid_kind") == GridKind.CARTESIAN_XZ:
+            kw["nex"] = args.resolution
+        else:
+            kw["ne"] = args.resolution
+    if args.resolution_y is not None:
+        kw["ney"] = args.resolution_y
+    if args.levels is not None:
+        kw["nz"] = args.levels
+    kw["order"] = args.order
+    kw["vertical_order"] = args.vertorder
+    if args.dt is not None:
+        kw["dt"] = parse_duration_seconds(args.dt)
+    kw["timescheme"] = TimestepSchemeType(args.timescheme)
+    kw["explicit_scheme"] = ExplicitSubScheme(args.explicitscheme)
+    kw["nu_scalar"], kw["nu_div"], kw["nu_vort"] = args.nu, args.nud, args.nuv
+    kw["hypervis_order"] = args.hypervisorder
+    if args.nohypervis:
+        kw["hyperdiffusion"] = False
+    if args.norayleigh:
+        kw["rayleigh_damping"] = False
+    if args.fp32:
+        kw["dtype"] = jnp.float32
+
+    cfg = ModelConfig(**kw)
+    oms = []
+    if args.checksum_dt:
+        oms.append(ChecksumOutput(parse_duration_seconds(args.checksum_dt),
+                                  printer=print))
+        oms.append(EnergyOutput(parse_duration_seconds(args.checksum_dt),
+                                printer=print))
+    if args.output_dir and args.output_dt and \
+            kw.get("grid_kind") == GridKind.CUBED_SPHERE:
+        oms.append(ReferenceOutput(parse_duration_seconds(args.output_dt),
+                                   args.output_dir))
+    if args.output_dir and args.output_restart_dt:
+        oms.append(CompositeCheckpoint(
+            parse_duration_seconds(args.output_restart_dt), args.output_dir))
+
+    m = Model(cfg, tc, output_managers=oms, workflow_processes=wps,
+              verbose=args.verbose)
+    if args.restart_file:
+        m.restart_from(args.restart_file)
+
+    m.go(end_time=args.endtime, nsteps=args.nsteps)
+
+    if m.reference is not None:
+        norms = m.compute_error_norms()
+        print("Error norms vs reference state (L1/L2/Linf relative):")
+        for comp, n in norms.items():
+            print(f"  {comp:8s} {float(n['l1_rel']):.6e} "
+                  f"{float(n['l2_rel']):.6e} {float(n['linf_rel']):.6e}")
+    m.timers.report()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -30,20 +30,31 @@ def checksum(field, area, kind: str = "l2"):
     raise ValueError(kind)
 
 
-def state_checksums(state: dict, area, kind: str = "l2"):
-    """Checksum of every component of a state dict with matching area rank."""
+def state_checksums(state: dict, area, kind: str = "l2", area_int=None):
+    """Checksum of every component of a state dict.
+
+    ``area``: level-field quadrature weights; ``area_int``: interface-field
+    weights (for W on interfaces).  Tracer stacks use ``area`` per species.
+    """
     out = {}
     for name, f in state.items():
         a = area
+        if area_int is not None and f.ndim == area_int.ndim \
+                and f.shape[-1] == area_int.shape[-1]:
+            a = area_int
         if f.ndim > a.ndim:
-            a = a.reshape(a.shape + (1,) * (f.ndim - a.ndim))
+            a = a.reshape((1,) * (f.ndim - a.ndim) + a.shape)
         elif f.ndim == a.ndim - 1:
             a = a[..., 0]
+        if name == "Tracers":
+            for i in range(f.shape[0]):
+                out[f"Q{i}"] = checksum(f[i], area, kind)
+            continue
         out[name] = checksum(f, a, kind)
     return out
 
 
-def error_norms(state: dict, reference: dict, area):
+def error_norms(state: dict, reference: dict, area, area_int=None):
     """L1/L2/Linf norms of (state - reference), absolute and normalized.
 
     Matches ``Model::ComputeErrorNorms``: normalized norms divide by the
@@ -56,8 +67,11 @@ def error_norms(state: dict, reference: dict, area):
         f = state[name]
         r = reference[name]
         a = area
+        if area_int is not None and f.ndim == area_int.ndim \
+                and f.shape[-1] == area_int.shape[-1]:
+            a = area_int
         if f.ndim > a.ndim:
-            a = a.reshape(a.shape + (1,) * (f.ndim - a.ndim))
+            a = a.reshape((1,) * (f.ndim - a.ndim) + a.shape)
         diff = f - r
         l1 = jnp.sum(jnp.abs(diff) * a)
         l2 = jnp.sqrt(jnp.sum(diff * diff * a))

@@ -58,9 +58,11 @@ class ChecksumOutput(OutputManager):
         self.records = []
 
     def output(self, model, t: float):
-        area = (model.geom.area3d if "Rho" in model.state
-                else model.geom.area2d)
-        sums = state_checksums(model.state, area, self.kind)
+        if "Rho" in model.state:
+            sums = state_checksums(model.state, model.geom.area3d,
+                                   self.kind, model.geom.area3d_int)
+        else:
+            sums = state_checksums(model.state, model.geom.area2d, self.kind)
         rec = {"time": t}
         rec.update({k: float(v) for k, v in sums.items()})
         self.records.append(rec)
@@ -167,10 +169,16 @@ class CompositeCheckpoint(OutputManager):
     """
 
     def __init__(self, interval: float, outdir: str,
-                 prefix: str = "restart"):
+                 prefix: str = "restart", fmt: str = "auto"):
+        """``fmt``: "arena" (native C++ packer, .tarena), "npz", or "auto"
+        (arena when the native library builds, else npz)."""
         super().__init__(interval, initial_output=False)
         self.outdir = outdir
         self.prefix = prefix
+        if fmt == "auto":
+            from . import arena
+            fmt = "arena" if arena.available() else "npz"
+        self.fmt = fmt
 
     def output(self, model, t: float):
         os.makedirs(self.outdir, exist_ok=True)
@@ -179,16 +187,26 @@ class CompositeCheckpoint(OutputManager):
         if model.carry is not None:
             payload.update({f"carry_{k}": np.asarray(v)
                             for k, v in model.carry.items()})
-        payload["time"] = np.float64(t)
-        payload["step"] = np.int64(model.step_count)
-        path = os.path.join(self.outdir, f"{self.prefix}.{t:012.2f}.npz")
-        np.savez(path, **payload)
+        payload["time"] = np.float64(t).reshape(())
+        payload["step"] = np.int64(model.step_count).reshape(())
+        if self.fmt == "arena":
+            from . import arena
+            path = os.path.join(self.outdir,
+                                f"{self.prefix}.{t:012.2f}.tarena")
+            arena.save(path, payload)
+        else:
+            path = os.path.join(self.outdir, f"{self.prefix}.{t:012.2f}.npz")
+            np.savez(path, **payload)
         return path
 
     @staticmethod
     def load(path):
         """(state, carry, time, step) from a restart file."""
-        data = np.load(path)
+        if path.endswith(".tarena"):
+            from . import arena
+            data = arena.load(path)
+        else:
+            data = dict(np.load(path))
         state = {k[len("state_"):]: jnp.asarray(v)
                  for k, v in data.items() if k.startswith("state_")}
         carry = {k[len("carry_"):]: jnp.asarray(v)

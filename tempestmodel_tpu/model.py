@@ -169,6 +169,7 @@ class Model:
         ref = reference if reference is not None else self.reference
         if ref is None:
             raise ValueError("no reference state available")
-        area = (self.geom.area3d if "Rho" in self.state
-                else self.geom.area2d)
-        return error_norms(self.state, ref, area)
+        if "Rho" in self.state:
+            return error_norms(self.state, ref, self.geom.area3d,
+                               self.geom.area3d_int)
+        return error_norms(self.state, ref, self.geom.area2d)

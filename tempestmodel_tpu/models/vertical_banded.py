@@ -44,7 +44,7 @@ def compute_bandwidth(resid_one, x_sample) -> int:
     n = x_sample.shape[-1]
     nz = (n - 1) // 3
     perm = interleave_perm(nz)
-    J = np.asarray(jax.jacfwd(resid_one)(x_sample))
+    J = np.asarray(jax.jit(jax.jacfwd(resid_one))(x_sample))
     Jp = J[np.ix_(perm, perm)]
     mask = np.abs(Jp) > 1e-30
     ii, jj = np.nonzero(mask)

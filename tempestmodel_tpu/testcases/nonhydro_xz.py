@@ -212,7 +212,7 @@ class InertiaGravityWave:
     """
     n_bar: float = 0.01
     theta_0: float = 300.0
-    theta_c: float = 0.01
+    theta_c: float = 1.0        # reference CLI default (ThetaC)
     h_c: float = 10000.0
     a_c: float = 5000.0
     x_c: float = 100000.0

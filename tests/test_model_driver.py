@@ -126,3 +126,45 @@ def test_imex_schemes_bubble(scheme):
     assert np.isfinite(thp).all()
     assert thp.max() < 0.7
     assert thp.min() > -0.3
+
+
+def test_arena_native_roundtrip():
+    """Native C++ arena packer: bit-exact roundtrip + corruption detection."""
+    from tempestmodel_tpu.io import arena
+    if not arena.available():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(3)
+    d = {"a": rng.standard_normal((6, 32, 32, 10)),
+         "b": np.arange(11, dtype=np.int32)}
+    buf = arena.pack(d)
+    out = arena.unpack(buf)
+    for k in d:
+        np.testing.assert_array_equal(out[k], np.asarray(d[k]))
+    bad = bytearray(buf)
+    bad[len(buf) // 2] ^= 0xFF
+    with pytest.raises(ValueError):
+        arena.unpack(bytes(bad))
+
+
+def test_checkpoint_arena_restart(tmp_path):
+    """Arena-format checkpoint restores bit-exact state."""
+    from tempestmodel_tpu.io import arena
+    if not arena.available():
+        pytest.skip("native toolchain unavailable")
+    tc = ThermalBubble()
+    cfg = ModelConfig(grid_kind=GridKind.CARTESIAN_XZ, nex=8, ney=1, order=4,
+                      nz=12, ztop=tc.ztop, x_extent=tc.x_extent,
+                      y_extent=tc.y_extent, dt=0.1, hyperdiffusion=False,
+                      equation_set=EquationSet.PRIMITIVE_NONHYDRO)
+    ckpt = CompositeCheckpoint(interval=0.3, outdir=str(tmp_path),
+                               fmt="arena")
+    m = Model(cfg, tc, output_managers=[ckpt])
+    m.go(nsteps=6)
+    files = [f for f in os.listdir(tmp_path) if f.endswith(".tarena")]
+    assert files
+    m2 = Model(cfg, tc)
+    m2.restart_from(os.path.join(tmp_path, sorted(files)[-1]))
+    m2.go(nsteps=6 - m2.step_count)
+    for k in m.state:
+        np.testing.assert_array_equal(np.asarray(m2.state[k]),
+                                      np.asarray(m.state[k]))
