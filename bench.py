@@ -1,68 +1,79 @@
 """Headline benchmark: grid-point-steps/sec/chip on the flagship config.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
-The reference publishes no numbers (BASELINE.md), so vs_baseline is the
-ratio against the first recorded run of this bench (stored in
-bench_baseline.json on first successful run) — i.e. it tracks our own
-progress; >1.0 means faster than the round-1 recording.
 
-Flagship: shallow-water sphere ne30 p4 (upgraded to nonhydro ne30 p4 L30
-once the nonhydro core lands) in float32, steps fused under lax.scan.
+Flagship: nonhydrostatic UMJS baroclinic wave, cubed sphere ne30 p4 L30
+(the BASELINE.json headline config), float32, Strang-HEVI with nu4
+hyperdiffusion and the batched banded vertical implicit solve.
+
+The reference publishes no numbers (BASELINE.md), so vs_baseline is the
+ratio against the first recorded run of this bench on this metric
+(bench_baseline.json); >1.0 = faster than the round-1 recording.
 """
 
 import json
 import os
 import time
 
+METRIC = "gridpoint-steps/sec/chip (nonhydro sphere ne30 p4 L30 f32)"
+
 
 def main():
     import jax
     import jax.numpy as jnp
-    import tempestmodel_tpu as tm
-    from tempestmodel_tpu.models import sw_model
-    from tempestmodel_tpu.testcases.shallow_water import Williamson2
+    from tempestmodel_tpu.config import ModelConfig, GridKind
+    from tempestmodel_tpu.models import nh_model
+    from tempestmodel_tpu.testcases.nonhydro_sphere import BaroclinicWaveUMJS
 
-    ne, order = 30, 4
-    inner = int(os.environ.get("TM_BENCH_STEPS", "20"))
-    dtype = jnp.float32
+    ne, nz = 30, 30
+    inner = int(os.environ.get("TM_BENCH_STEPS", "10"))
 
-    cfg = tm.ModelConfig(ne=ne, order=order, dt=120.0, hyperdiffusion=True,
-                         dtype=dtype)
-    geom = sw_model.build_sw_geometry(cfg)
-    state = Williamson2().initial_state(geom, cfg.constants, dtype=dtype)
-    multi = sw_model.make_sw_multistep(cfg, geom, inner)
+    tc = BaroclinicWaveUMJS(pert="exp")
+    cfg = ModelConfig(grid_kind=GridKind.CUBED_SPHERE, ne=ne, order=4,
+                      nz=nz, ztop=tc.ztop, dt=200.0, hyperdiffusion=True,
+                      nu_scalar=1e15, nu_div=1e15, nu_vort=1e15,
+                      dtype=jnp.float32)
+    geom = nh_model.build_nh_sphere_geometry(cfg, ztop=tc.ztop)
+    state = tc.initial_state(geom, cfg.constants, dtype=jnp.float32)
+    first_step, step = nh_model.make_nh_step(cfg, geom)
 
     # warmup / compile
-    out = multi(state)
-    jax.block_until_ready(out)
+    state, carry = first_step(state)
+    state, carry = step(state, carry)
+    jax.block_until_ready(state)
 
+    # async dispatch pipelines the per-call latency away
     reps = 3
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = multi(state)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
+        s, c = state, carry
+        for _ in range(inner):
+            s, c = step(s, c)
+        jax.block_until_ready(s)
+        best = min(best, (time.perf_counter() - t0) / inner)
 
-    npts = 6 * (ne * order) ** 2  # horizontal grid points (nz=1)
-    gps = npts * inner / best
+    npts = 6 * (ne * 4) ** 2 * nz
+    gps = npts / best
 
     baseline_file = os.path.join(os.path.dirname(__file__),
                                  "bench_baseline.json")
     vs = None
+    base = None
     if os.path.exists(baseline_file):
         with open(baseline_file) as f:
             base = json.load(f)
-        if base.get("value"):
-            vs = gps / base["value"]
-    else:
+        if base.get("metric") != METRIC:
+            base = None
+    if base is None:
         with open(baseline_file, "w") as f:
-            json.dump({"value": gps, "metric": "grid-point-steps/sec/chip",
-                       "config": f"sw ne{ne} p{order} f32"}, f)
+            json.dump({"value": gps, "metric": METRIC}, f)
         vs = 1.0
+    else:
+        vs = gps / base["value"]
 
     print(json.dumps({
-        "metric": "grid-point-steps/sec/chip (sw ne30 p4 f32)",
+        "metric": METRIC,
         "value": gps,
         "unit": "gridpoint-steps/s",
         "vs_baseline": vs,

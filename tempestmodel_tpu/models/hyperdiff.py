@@ -39,7 +39,8 @@ def scalar_laplacian(f, geom: CubedSphereGeometry, jac=None):
         jac = geom.jac2d
     extra = f.ndim - 3
     con = geom.con2d.reshape(geom.con2d.shape[:3] + (1,) * extra + (2, 2))
-    j = jac if jac.ndim == f.ndim else jac.reshape(jac.shape + (1,) * extra)
+    j = (jac if jac.ndim == f.ndim
+         else jac.reshape(jac.shape + (1,) * (f.ndim - jac.ndim)))
     da, db = sem.deriv_both(f, geom.deriv, nea, neb, p, da_, db_)
     ga = j * (con[..., 0, 0] * da + con[..., 0, 1] * db)
     gb = j * (con[..., 1, 0] * da + con[..., 1, 1] * db)

@@ -92,6 +92,23 @@ def make_nh_imex_step(cfg: ModelConfig, geom, ref_state=None):
     return make_imex_step(cfg, geom, dss_state, ref_state)
 
 
+def make_nh_multistep(cfg: ModelConfig, geom, inner_steps: int,
+                      ref_state=None):
+    """K Strang steps fused under one jit with lax.scan (benchmark path)."""
+    first_step, step = make_nh_step(cfg, geom, ref_state)
+
+    @jax.jit
+    def multi(state, carry):
+        def body(sc, _):
+            s, c = step(*sc)
+            return (s, c), None
+        (s, c), _ = jax.lax.scan(body, (state, carry), None,
+                                 length=inner_steps)
+        return s, c
+
+    return first_step, multi
+
+
 def run_nh(cfg: ModelConfig, state, nsteps: int, geom):
     first_step, step = make_nh_step(cfg, geom)
     state, carry = first_step(state)

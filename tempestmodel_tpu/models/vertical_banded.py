@@ -67,13 +67,14 @@ def extract_bands_t(batched_resid, x, q: int, perm, inv_perm):
 
     xp = x[:, perm]
 
-    jvs = []
-    for c in range(b):
-        seed = (cols % b == c).astype(x.dtype)
-        _, jv = jax.jvp(resid_perm, (xp,),
-                        (jnp.broadcast_to(seed, xp.shape),))
-        jvs.append(jv.T)                              # (n, ncol)
-    stacked = jnp.stack(jvs, axis=0)                  # (b, n, ncol)
+    # Linearize once (shares the primal trace), then apply the b coloring
+    # seeds as one batched tangent evaluation.
+    _, jvp_fn = jax.linearize(resid_perm, xp)
+    seeds = jnp.stack(
+        [jnp.broadcast_to((cols % b == c).astype(x.dtype), xp.shape)
+         for c in range(b)])                          # (b, ncol, n)
+    jvs = jax.vmap(jvp_fn)(seeds)                     # (b, ncol, n)
+    stacked = jnp.swapaxes(jvs, 1, 2)                 # (b, n, ncol)
 
     rows = np.arange(n)
     band_rows = []

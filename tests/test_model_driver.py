@@ -168,3 +168,38 @@ def test_checkpoint_arena_restart(tmp_path):
     for k in m.state:
         np.testing.assert_array_equal(np.asarray(m2.state[k]),
                                       np.asarray(m.state[k]))
+
+
+def test_tropical_cyclone_with_kessler():
+    """DCMIP2016 tropical cyclone: vortex + moisture + Kessler physics."""
+    from tempestmodel_tpu.testcases.dcmip2016 import TropicalCyclone
+    from tempestmodel_tpu.physics.kessler import KesslerPhysics
+    tc = TropicalCyclone()
+    cfg = ModelConfig(grid_kind=GridKind.CUBED_SPHERE, ne=6, order=4, nz=10,
+                      ztop=tc.ztop, dt=150.0, hyperdiffusion=True,
+                      nu_scalar=1e15, nu_div=1e15, nu_vort=1e15,
+                      equation_set=EquationSet.PRIMITIVE_NONHYDRO)
+    m = Model(cfg, tc, workflow_processes=[KesslerPhysics(interval=0.0)])
+    s0_u = np.abs(np.asarray(m.state["U"])).max()
+    assert s0_u > 0.0            # vortex present
+    q0 = float(jnp.sum(m.state["Tracers"][0] * m.geom.area3d))
+    m.go(nsteps=5)
+    assert np.isfinite(np.asarray(m.state["Rt"])).all()
+    q1 = float(jnp.sum(m.state["Tracers"][0] * m.geom.area3d))
+    # moisture is conserved up to microphysical sinks (small in 5 steps)
+    assert abs(q1 / q0 - 1.0) < 0.05
+    assert float(m.state["Tracers"].min()) >= 0.0
+
+
+def test_moist_baroclinic_wave_init():
+    from tempestmodel_tpu.testcases.dcmip2016 import MoistBaroclinicWave
+    tc = MoistBaroclinicWave()
+    cfg = ModelConfig(grid_kind=GridKind.CUBED_SPHERE, ne=4, order=4, nz=8,
+                      ztop=tc.ztop, dt=200.0, hyperdiffusion=True,
+                      nu_scalar=1e16, nu_div=1e16, nu_vort=1e16,
+                      equation_set=EquationSet.PRIMITIVE_NONHYDRO)
+    m = Model(cfg, tc)
+    q = np.asarray(m.state["Tracers"][0] / m.state["Rho"])
+    assert 0.01 < q.max() < 0.025      # moist tropics
+    m.go(nsteps=3)
+    assert np.isfinite(np.asarray(m.state["Rt"])).all()

@@ -124,3 +124,73 @@ def test_parity_inertia_gravity():
     # (verified: errors shrink ~dt^2 — 16x smaller at dt=0.25); the bubble
     # cases at dt=0.05 agree to ~1e-8.
     assert_state_close(s, golden, rtol_scalar=3e-5, rtol_vel=5e-3)
+
+
+def _load_sw_golden(name):
+    """SW golden: (6, 3, A, B) node components per panel."""
+    patches = load_golden(name)
+    return np.stack([p["node"][:, :, :, 0] for p in patches])
+
+
+def _run_sw_tc2(hyperdiffusion):
+    from tempestmodel_tpu.models import sw_model
+    from tempestmodel_tpu.testcases.shallow_water import Williamson2
+    cfg = ModelConfig(ne=8, order=4, dt=400.0,
+                      hyperdiffusion=hyperdiffusion)
+    geom = sw_model.build_sw_geometry(cfg)
+    s = Williamson2().initial_state(geom, cfg.constants)
+    step = sw_model.make_sw_step(cfg, geom)
+    for _ in range(20):
+        s = step(s)
+    return s
+
+
+@pytest.mark.parametrize("case,hv", [("swtc2.bin.gz", False),
+                                     ("swtc2_hv.bin.gz", True)])
+def test_parity_shallow_water_tc2(case, hv):
+    """SW TC2 on the cubed sphere matches the reference to ~1e-13:
+    validates panel layout, DSS vector transforms, SE dynamics."""
+    golden = _load_sw_golden(case)
+    s = _run_sw_tc2(hv)
+    for name, c in (("U", 0), ("V", 1), ("H", 2)):
+        ref = golden[:, c]
+        mine = np.asarray(s[name])
+        scale = max(np.abs(ref).max(), 1e-30)
+        rel = np.abs(ref - mine).max() / scale
+        assert rel < 1e-11, f"{name}: rel {rel:.3e}"
+
+
+def test_parity_umjs_sphere():
+    """UMJS balanced state on the cubed sphere vs the reference (10 steps).
+
+    Scalars match to ~1e-4; W (the most Newton-sensitive field) to ~10%:
+    at L24 the per-solve implicit residual is still large enough that the
+    single Newton step differs between our AD-exact Jacobian and the
+    reference's approximate analytic one (verified: 1-vs-4 Newton
+    iterations change W by ~40% at L8, shrinking with resolution).
+    """
+    from tempestmodel_tpu.testcases.nonhydro_sphere import BaroclinicWaveUMJS
+    patches = load_golden("umjs_l24.bin.gz")
+    node_ref = np.stack([p["node"] for p in patches])
+    redge_ref = np.stack([p["redge"] for p in patches])
+
+    tc = BaroclinicWaveUMJS()
+    cfg = ModelConfig(grid_kind=GridKind.CUBED_SPHERE, ne=4, order=4,
+                      nz=24, ztop=30000.0, dt=50.0, hyperdiffusion=True,
+                      nu_scalar=1e15, nu_div=1e15, nu_vort=1e15)
+    geom = nh_model.build_nh_sphere_geometry(cfg, ztop=30000.0)
+    s0 = tc.reference_state(geom, cfg.constants)
+    first_step, step = nh_model.make_nh_step(cfg, geom)
+    s, carry = first_step(s0)
+    for _ in range(9):
+        s, carry = step(s, carry)
+
+    for name, c, tol in (("U", 0, 5e-4), ("V", 1, 5e-4),
+                         ("Rt", 2, 5e-5), ("Rho", 4, 2e-4)):
+        ref = node_ref[:, c]
+        mine = np.asarray(s[name])
+        rel = np.abs(ref - mine).max() / max(np.abs(ref).max(), 1e-30)
+        assert rel < tol, f"{name}: rel {rel:.3e}"
+    ref_w = redge_ref[:, 3]
+    rel = np.abs(ref_w - np.asarray(s["W"])).max() / np.abs(ref_w).max()
+    assert rel < 0.12, f"W: rel {rel:.3e}"
