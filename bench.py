@@ -29,10 +29,11 @@ def main():
     inner = int(os.environ.get("TM_BENCH_STEPS", "10"))
 
     tc = BaroclinicWaveUMJS(pert="exp")
+    solver = "pallas" if jax.default_backend() != "cpu" else "banded"
     cfg = ModelConfig(grid_kind=GridKind.CUBED_SPHERE, ne=ne, order=4,
                       nz=nz, ztop=tc.ztop, dt=200.0, hyperdiffusion=True,
                       nu_scalar=1e15, nu_div=1e15, nu_vort=1e15,
-                      dtype=jnp.float32)
+                      vertical_solver=solver, dtype=jnp.float32)
     geom = nh_model.build_nh_sphere_geometry(cfg, ztop=tc.ztop)
     state = tc.initial_state(geom, cfg.constants, dtype=jnp.float32)
     first_step, step = nh_model.make_nh_step(cfg, geom)

@@ -74,6 +74,7 @@ class ModelConfig:
     nz: int = 1                       # vertical levels (--levels)
     vertical_order: int = 1           # vertical FE order (--vertorder)
     vertical_staggering: VerticalStaggering = VerticalStaggering.LORENZ
+    vertical_stretch: str = "uniform"  # --vstretch (uniform|cubic|pwlinear)
     ztop: float = 1.0                 # model cap height (m); 1.0 for 2D sets
     # Cartesian domain extents (grid_kind != CUBED_SPHERE)
     x_extent: tuple = (0.0, 1000.0)

@@ -16,7 +16,12 @@ from ..config import ModelConfig, GridKind, TimestepSchemeType
 from ..grid import cartesian as cart
 from ..grid import geometry as sphere_geom
 from ..parallel import dss as sphere_dss
+from ..grid.vertical_stretch import get_stretch
 from ..timestep.strang import make_strang_step
+
+
+def _stretch(cfg: ModelConfig):
+    return get_stretch(cfg.vertical_stretch)
 
 
 def build_nh_cartesian_geometry(cfg: ModelConfig, topography=None,
@@ -28,7 +33,7 @@ def build_nh_cartesian_geometry(cfg: ModelConfig, topography=None,
         constants=cfg.constants, vertical_order=cfg.vertical_order,
         topography=topography, rayleigh=rayleigh,
         is_xz=(cfg.grid_kind == GridKind.CARTESIAN_XZ),
-        dtype=cfg.dtype)
+        stretch=_stretch(cfg), dtype=cfg.dtype)
 
 
 def make_cartesian_dss(geom) -> Callable:
@@ -51,7 +56,7 @@ def build_nh_sphere_geometry(cfg: ModelConfig, topography=None,
         ne=cfg.ne, p=cfg.order, constants=cfg.constants, nz=cfg.nz,
         ztop=ztop if ztop is not None else cfg.ztop,
         topography=topography, vertical_order=cfg.vertical_order,
-        rayleigh=rayleigh, dtype=cfg.dtype)
+        rayleigh=rayleigh, stretch=_stretch(cfg), dtype=cfg.dtype)
 
 
 def make_sphere_dss(geom) -> Callable:

@@ -399,14 +399,15 @@ def vertical_implicit(state, geom, constants, dt, newton_iters: int = 1,
         return _column_residual(x, a, gmats, constants, dt, nz)
 
     x = x0
-    if solver == "banded":
+    if solver in ("banded", "pallas"):
         from . import vertical_banded as vb
 
         def batched_resid(xs):
             return jax.vmap(resid)(xs, aux)
 
         for _ in range(newton_iters):
-            x = vb.banded_newton_update(batched_resid, x, q, nz)
+            x = vb.banded_newton_update(batched_resid, x, q, nz,
+                                        use_pallas=(solver == "pallas"))
     else:
         def newton_one(xx, a):
             f = resid(xx, a)

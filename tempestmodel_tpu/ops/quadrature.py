@@ -87,9 +87,25 @@ def lagrange_interp_coeffs(nodes: np.ndarray, x: float) -> np.ndarray:
     """
     nodes = np.asarray(nodes, dtype=np.float64)
     n = len(nodes)
+    # normalize to O(1) scale: interpolation coefficients are invariant
+    # under affine maps, and the raw products overflow for large domains
+    c0 = nodes.mean()
+    s0 = max(np.abs(nodes - c0).max(), 1.0e-300)
+    nodes = (nodes - c0) / s0
+    x = (x - c0) / s0
     diff = nodes[:, None] - nodes[None, :]
     np.fill_diagonal(diff, 1.0)
-    bary_w = 1.0 / np.prod(diff, axis=1)
+    with np.errstate(over="ignore"):
+        prod = np.prod(diff, axis=1)
+    # for very large n even normalized products can overflow: log-space
+    if not np.isfinite(prod).all() or (prod == 0).any():
+        logs = np.log(np.abs(diff))
+        np.fill_diagonal(logs, 0.0)
+        signs = np.prod(np.sign(diff), axis=1)
+        logsum = logs.sum(axis=1)
+        logsum -= logsum.min()
+        prod = signs * np.exp(logsum)
+    bary_w = 1.0 / prod
     dx = x - nodes
     exact = np.isclose(dx, 0.0, atol=1e-14)
     if exact.any():
@@ -109,6 +125,11 @@ def lagrange_diff_coeffs(nodes: np.ndarray, x: float) -> np.ndarray:
     """
     nodes = np.asarray(nodes, dtype=np.float64)
     n = len(nodes)
+    # normalize scale (coefficients scale as 1/s under an affine map)
+    c0 = nodes.mean()
+    s0 = max(np.abs(nodes - c0).max(), 1.0e-300)
+    nodes = (nodes - c0) / s0
+    x = (x - c0) / s0
     c = np.zeros(n)
     for m in range(n):
         others = np.delete(np.arange(n), m)
@@ -118,7 +139,7 @@ def lagrange_diff_coeffs(nodes: np.ndarray, x: float) -> np.ndarray:
             rest = others[others != j]
             total += np.prod(x - nodes[rest])
         c[m] = total / denom
-    return c
+    return c / s0
 
 
 def derivative_matrix(nodes: np.ndarray) -> np.ndarray:

@@ -111,6 +111,9 @@ class KesslerPhysics(WorkflowProcess):
         self.precl = None
 
     def perform(self, model, t):
+        if model.state["Tracers"].shape[0] < 3:
+            raise ValueError(
+                "KesslerPhysics requires tracers [rho*qv, rho*qc, rho*qr]")
         if self._jitted is None:
             geom = model.geom
             constants = model.cfg.constants

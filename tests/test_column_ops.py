@@ -56,3 +56,20 @@ def test_flux_correction_type2_order2():
     x = np.array([0.0, 0.25, 0.5, 1.0])
     d = co.flux_correction_derivatives(2, 2, x)
     np.testing.assert_allclose(d, 2.0 * x, atol=1e-12)
+
+
+def test_vertical_stretch_maps():
+    """Stretch maps produce monotone level placement; operators stay exact
+    for linear fields on the stretched grid."""
+    from tempestmodel_tpu.grid.vertical_stretch import (stretch_cubic,
+                                                        stretch_piecewise_linear)
+    for fn in (stretch_cubic, stretch_piecewise_linear):
+        lev, intf, wl, wi = co.vertical_coordinate(12, 1, fn)
+        assert (np.diff(intf) > 0).all()
+        assert abs(intf[0]) < 1e-14 and abs(intf[-1] - 1.0) < 1e-12
+        assert abs(wl.sum() - intf[-1]) < 1e-12
+        ops = co.build_column_ops(12, 1, fn)
+        f = 1.0 + 2.0 * ops.reta_lev
+        np.testing.assert_allclose(ops.diff_n2n @ f, 2.0, atol=1e-10)
+        np.testing.assert_allclose(
+            ops.interp_n2i @ f, 1.0 + 2.0 * ops.reta_int, atol=1e-10)

@@ -182,11 +182,11 @@ def test_tropical_cyclone_with_kessler():
     m = Model(cfg, tc, workflow_processes=[KesslerPhysics(interval=0.0)])
     s0_u = np.abs(np.asarray(m.state["U"])).max()
     assert s0_u > 0.0            # vortex present
-    q0 = float(jnp.sum(m.state["Tracers"][0] * m.geom.area3d))
+    q0 = float(jnp.sum(m.state["Tracers"] * m.geom.area3d[None]))
     m.go(nsteps=5)
     assert np.isfinite(np.asarray(m.state["Rt"])).all()
-    q1 = float(jnp.sum(m.state["Tracers"][0] * m.geom.area3d))
-    # moisture is conserved up to microphysical sinks (small in 5 steps)
+    q1 = float(jnp.sum(m.state["Tracers"] * m.geom.area3d[None]))
+    # total water conserved up to surface precipitation (small in 5 steps)
     assert abs(q1 / q0 - 1.0) < 0.05
     assert float(m.state["Tracers"].min()) >= 0.0
 
@@ -203,3 +203,27 @@ def test_moist_baroclinic_wave_init():
     assert 0.01 < q.max() < 0.025      # moist tropics
     m.go(nsteps=3)
     assert np.isfinite(np.asarray(m.state["Rt"])).all()
+
+
+def test_supercell_initialization_and_run():
+    """DCMIP2016 supercell on a reduced-radius sphere: Chebyshev
+    thermal-wind-balanced background + warm bubble; runs stably."""
+    from tempestmodel_tpu.testcases.dcmip2016 import Supercell
+    tc = Supercell()
+    const = tc.constants_override(ModelConfig().constants)
+    cfg = ModelConfig(grid_kind=GridKind.CUBED_SPHERE, ne=4, order=4, nz=10,
+                      ztop=tc.ztop, dt=0.5, hyperdiffusion=True,
+                      nu_scalar=2e8, nu_div=2e8, nu_vort=2e8,
+                      constants=const,
+                      equation_set=EquationSet.PRIMITIVE_NONHYDRO)
+    m = Model(cfg, tc)
+    th = np.asarray(m.state["Rt"] / m.state["Rho"])
+    assert 290.0 < th.min() < 320.0           # near-surface theta_v
+    assert th.max() < 600.0                   # stratospheric cap
+    q = np.asarray(m.state["Tracers"][0] / m.state["Rho"])
+    assert 0.012 < q.max() < 0.016            # moist boundary layer
+    m.go(nsteps=8)
+    th2 = np.asarray(m.state["Rt"] / m.state["Rho"])
+    assert np.isfinite(th2).all()
+    w = np.asarray(m.state["W"] / m.geom.deriv_r_int[..., 2])
+    assert np.abs(w).max() < 30.0             # updraft forming, bounded
