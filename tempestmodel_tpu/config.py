@@ -102,6 +102,8 @@ class ModelConfig:
     newton_iterations: int = 1        # reference default does 1 Newton step/solve
     vertical_upwinding: float = 0.0   # upwinding coefficient in vertical fluxes
     vertical_solver: str = "banded"   # "banded" (DGBSV analog) | "dense"
+    #                                 # | "pallas" (fused TPU kernel)
+    #                                 # | "jfnk" (matrix-free GMRES)
 
     # --- numerics ---
     dtype: jnp.dtype = jnp.float64    # fp64 for parity tests; fp32/bf16 for speed

@@ -111,14 +111,47 @@ class ReferenceOutput(OutputManager):
     """
 
     def __init__(self, interval: float, outdir: str, nlat: int = 91,
-                 nlon: int = 180, prefix: str = "out"):
+                 nlon: int = 180, prefix: str = "out",
+                 output_vorticity: bool = False,
+                 output_divergence: bool = False,
+                 output_surface_pressure: bool = False,
+                 output_richardson: bool = False):
         super().__init__(interval)
         self.outdir = outdir
         self.nlat = nlat
         self.nlon = nlon
         self.prefix = prefix
+        self.output_vorticity = output_vorticity
+        self.output_divergence = output_divergence
+        self.output_surface_pressure = output_surface_pressure
+        self.output_richardson = output_richardson
         self.count = 0
         self._interp = None
+
+    @staticmethod
+    def _richardson(model, s, c):
+        """Gradient Richardson number on model levels.
+
+        Ri = (g/theta d(theta)/dz) / |d(u_h)/dz|^2, the reference's
+        optional Richardson output (``OutputManagerReference.cpp``
+        derived-field list).  The shear norm is coordinate-invariant:
+        |d(u_h)/dz|^2 = g^{ij} (dz u_i)(dz u_j) with the 2-D
+        contravariant metric raising the covariant z-derivatives.
+        """
+        import jax.numpy as jnp
+        from ..models.nonhydro import colop
+        geom = model.geom
+        dz = geom.deriv_r[..., 2]                     # dz/dxi on levels
+        theta = s["Rt"] / s["Rho"]
+        dth = colop(geom.diff_n2n, theta) / dz
+        du = colop(geom.diff_n2n, s["U"]) / dz
+        dv = colop(geom.diff_n2n, s["V"]) / dz
+        con = geom.con2d[..., None, :, :]             # (..., 1, 2, 2)
+        shear2 = (con[..., 0, 0] * du * du
+                  + 2.0 * con[..., 0, 1] * du * dv
+                  + con[..., 1, 1] * dv * dv)
+        n2 = c.g / theta * dth
+        return n2 / jnp.maximum(shear2, 1e-12)
 
     def output(self, model, t: float):
         from .latlon import build_latlon_interp
@@ -153,6 +186,27 @@ class ReferenceOutput(OutputManager):
                 fields["Tracers"] = np.stack(
                     [np.asarray(it.scalar(s["Tracers"][i]))
                      for i in range(s["Tracers"].shape[0])])
+            if self.output_surface_pressure:
+                # hydrostatic extrapolation from the lowest model level
+                # (OutputManagerReference.cpp surface-pressure field)
+                import jax.numpy as jnp
+                z_low = model.geom.z_lev[..., 0]
+                z_srf = model.geom.z_int[..., 0]
+                t_low = (c.pressure_from_rhotheta(s["Rt"][..., 0])
+                         / (c.Rd * s["Rho"][..., 0]))
+                ps = (c.pressure_from_rhotheta(s["Rt"][..., 0])
+                      * jnp.exp(c.g * (z_low - z_srf) / (c.Rd * t_low)))
+                fields["PS"] = np.asarray(it.scalar(ps))
+            if self.output_richardson:
+                fields["Ri"] = np.asarray(
+                    it.scalar(self._richardson(model, s, c)))
+        if self.output_vorticity or self.output_divergence:
+            from ..models.hyperdiff import curl_and_div
+            vor, div = curl_and_div(s["U"], s["V"], model.geom)
+            if self.output_vorticity:
+                fields["Vorticity"] = np.asarray(it.scalar(vor))
+            if self.output_divergence:
+                fields["Divergence"] = np.asarray(it.scalar(div))
         path = os.path.join(
             self.outdir, f"{self.prefix}.{self.count:06d}.npz")
         np.savez_compressed(path, **fields)
@@ -212,4 +266,5 @@ class CompositeCheckpoint(OutputManager):
         carry = {k[len("carry_"):]: jnp.asarray(v)
                  for k, v in data.items() if k.startswith("carry_")}
         return (state, carry if carry else None,
-                float(data["time"]), int(data["step"]))
+                float(np.asarray(data["time"]).reshape(-1)[0]),
+                int(np.asarray(data["step"]).reshape(-1)[0]))

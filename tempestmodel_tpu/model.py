@@ -78,6 +78,10 @@ class Model:
         ztop = getattr(testcase, "ztop", None)
 
         if cfg.equation_set == EquationSet.SHALLOW_WATER:
+            if cfg.nz > 1:
+                raise ValueError(
+                    "equation_set=SHALLOW_WATER with nz > 1: set "
+                    "equation_set=PRIMITIVE_NONHYDRO for 3-D runs")
             self.geom = sw_model.build_sw_geometry(cfg, topography)
             self._sw_step = sw_model.make_sw_step(cfg, self.geom)
         elif cfg.grid_kind == GridKind.CUBED_SPHERE:
@@ -97,7 +101,8 @@ class Model:
                     self.geom, cfg.constants, dtype=cfg.dtype)
 
         if cfg.equation_set != EquationSet.SHALLOW_WATER:
-            if cfg.timescheme == TimestepSchemeType.STRANG:
+            if cfg.timescheme in (TimestepSchemeType.STRANG,
+                                  TimestepSchemeType.ERK):
                 self._first_step, self._step = nh_model.make_nh_step(
                     cfg, self.geom, ref_state=self.reference)
                 self._imex_step = None

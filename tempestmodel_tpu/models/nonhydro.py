@@ -192,6 +192,30 @@ def vertical_explicit_increment(state, geom, dt):
     }
 
 
+def vertical_explicit_tendency(state, geom, constants):
+    """Fully-explicit vertical tendencies of (Rt, W, Rho).
+
+    The ``--explicitvertical`` path (reference ``VerticalDynamicsFEM::
+    StepExplicit`` with ``m_fFullyExplicit``, ``:754-815``): evaluate the
+    implicit residual F at the current state with no time term; the
+    tendency is -F.
+    """
+    nz = geom.nz
+    x0, aux, gmats, (P, A, B) = _implicit_aux(state, geom)
+
+    def resid(x, a):
+        # dt=inf removes the (x - x0)/dt time term
+        return _column_residual(x, a, gmats, constants, jnp.inf, nz)
+
+    f = jax.vmap(resid)(x0, aux)
+    n = nz
+    return {
+        "Rt": -f[:, :n].reshape(P, A, B, nz),
+        "W": -f[:, n:2 * n + 1].reshape(P, A, B, nz + 1),
+        "Rho": -f[:, 2 * n + 1:].reshape(P, A, B, nz),
+    }
+
+
 def apply_w_boundary(state, geom):
     """Diagnostic bottom boundary condition on W: u^xi(surface) = 0.
 
@@ -383,6 +407,104 @@ def estimate_bandwidth(geom, constants) -> int:
     return vb.compute_bandwidth(resid_one, x0[col])
 
 
+def column_residual_multi_jvp(x0, aux, g, constants, dt, nz, tangents):
+    """Analytic JVP of ``_column_residual`` applied to S tangents at once.
+
+    ``x0``: (ncol, n) base point; ``tangents``: (S, ncol, n).
+    Returns (S, ncol, n).  All shared (primal) factors are computed once
+    and every column operator application is batched over S — one sweep
+    over the column data instead of S separate linearized evaluations.
+    Validated against jax.jvp in tests (exact to roundoff).
+    """
+    c = constants
+    n = 3 * nz + 1
+
+    def split(x):
+        return x[..., :nz], x[..., nz:2 * nz + 1], x[..., 2 * nz + 1:]
+
+    rt0, w0, rho0 = split(x0)
+    # --- primal factors (once) ---
+    w_n0 = colop(g["interp_i2n"], w0)
+    rho_i0 = colop(g["interp_n2i"], rho0)
+    rt_i0 = colop(g["interp_n2i"], rt0)
+    pi_n0 = exner_from_rhotheta(rt0, c)
+    dpi_drt = (c.Rd / (c.Cp - c.Rd)) * pi_n0 / rt0
+    dpi_i0 = colop(g["diff_n2i"], pi_n0)
+    cX = aux["con_xi_xi"]
+    cXi = aux["con_xi_xi_int"]
+    xid_n0 = (aux["con_a_xi"] * aux["u_n"] + aux["con_b_xi"] * aux["v_n"]
+              + cX * w_n0)
+    xid_i0 = (aux["con_a_xi_int"] * aux["u_i"]
+              + aux["con_b_xi_int"] * aux["v_i"] + cXi * w0)
+    mask_i = jnp.ones(nz + 1, x0.dtype).at[0].set(0.0).at[-1].set(0.0)
+    xid_i0 = xid_i0 * mask_i
+    jac, jac_i = aux["jac"], aux["jac_int"]
+    inv_jac = 1.0 / jac
+    curl_coef = -(aux["con_a_xi_int"] * aux["du_i"]
+                  + aux["con_b_xi_int"] * aux["dv_i"])
+    ddw0 = colop(g["diffdiff_i2i"], w0) * mask_i
+    upw_c = 0.5 / nz
+    vo = g["vo"]
+    nfe = nz // vo
+    if nfe > 1:
+        edge_sl = slice(vo, nz, vo)
+        wb0 = jnp.abs(xid_i0[..., edge_sl])
+        wl0 = jnp.einsum("KA,...A->...K", g["wscat_left"], wb0)
+        wr0 = jnp.einsum("KA,...A->...K", g["wscat_right"], wb0)
+        lrt0 = colop(g["penalty_left"], rt0)
+        rrt0 = colop(g["penalty_right"], rt0)
+        lrho0 = colop(g["penalty_left"], rho0)
+        rrho0 = colop(g["penalty_right"], rho0)
+        # subgradient of |x| at 0 is +1 to match AD (lax.abs jvp), so the
+        # banded path stays bit-comparable with the dense jacfwd path
+        sgn_edge = jnp.where(xid_i0[..., edge_sl] >= 0, 1.0, -1.0) \
+            * cXi[..., edge_sl]
+
+    # --- tangents (batched over S) ---
+    drt, dw, drho = split(tangents)
+    dw_n = colop(g["interp_i2n"], dw)
+    drho_i = colop(g["interp_n2i"], drho)
+    drt_i = colop(g["interp_n2i"], drt)
+    dpi_n = dpi_drt * drt
+    ddpi_i = colop(g["diff_n2i"], dpi_n)
+    dxid_n = cX * dw_n
+    dxid_i = cXi * dw * mask_i
+
+    dmf_i = jac_i * (drho_i * xid_i0 + rho_i0 * dxid_i) * mask_i
+    df_rho = colop(g["diff_i2n"], dmf_i) * inv_jac
+    dpf_i = jac_i * (drt_i * xid_i0 + rt_i0 * dxid_i) * mask_i
+    df_rt = colop(g["diff_i2n"], dpf_i) * inv_jac
+
+    dke_n = xid_n0 * dw_n
+    ddke_i = colop(g["diff_n2i"], dke_n)
+    dcurl = curl_coef * dw
+    dpgf = (ddpi_i * rt_i0 / rho_i0 + dpi_i0 * drt_i / rho_i0
+            - dpi_i0 * rt_i0 * drho_i / (rho_i0 * rho_i0))
+    df_w = (dpgf + ddke_i + dcurl) * mask_i
+
+    # W upwinding tangent
+    dddw = colop(g["diffdiff_i2i"], dw) * mask_i
+    sgn_xid = jnp.where(xid_i0 >= 0, 1.0, -1.0)   # AD's d|x|/dx at 0 = +1
+    df_w = df_w - upw_c * (sgn_xid * dxid_i * ddw0
+                           + jnp.abs(xid_i0) * dddw)
+    df_w = df_w * mask_i
+
+    # penalty upwinding tangents
+    if nfe > 1:
+        dwb = sgn_edge * dw[..., edge_sl]
+        dwl = jnp.einsum("KA,...A->...K", g["wscat_left"], dwb)
+        dwr = jnp.einsum("KA,...A->...K", g["wscat_right"], dwb)
+        df_rt = df_rt - (colop(g["penalty_left"], drt) * wl0
+                         + colop(g["penalty_right"], drt) * wr0
+                         + lrt0 * dwl + rrt0 * dwr)
+        df_rho = df_rho - (colop(g["penalty_left"], drho) * wl0
+                           + colop(g["penalty_right"], drho) * wr0
+                           + lrho0 * dwl + rrho0 * dwr)
+
+    out = jnp.concatenate([df_rt, df_w, df_rho], axis=-1)
+    return out + tangents / dt
+
+
 def vertical_implicit(state, geom, constants, dt, newton_iters: int = 1,
                       solver: str = "dense", q: int = 4):
     """Batched HEVI implicit column update of (Rt, W, Rho).
@@ -405,10 +527,30 @@ def vertical_implicit(state, geom, constants, dt, newton_iters: int = 1,
         def batched_resid(xs):
             return jax.vmap(resid)(xs, aux)
 
+        def multi_jvp(tangents):
+            return column_residual_multi_jvp(
+                x, aux, gmats, constants, dt, nz, tangents)
+
         for _ in range(newton_iters):
             x = vb.banded_newton_update(batched_resid, x, q, nz,
-                                        use_pallas=(solver == "pallas"))
-    else:
+                                        use_pallas=(solver == "pallas"),
+                                        multi_jvp=multi_jvp)
+    elif solver == "jfnk":
+        # matrix-free Newton-Krylov (reference USE_JFNK_GMRES path)
+        from .jfnk import jfnk_newton_update
+
+        def batched_resid(xs):
+            return jax.vmap(resid)(xs, aux)
+
+        for _ in range(newton_iters):
+            xx = x
+
+            def jv(t):
+                return column_residual_multi_jvp(
+                    xx, aux, gmats, constants, dt, nz, t[None])[0]
+
+            x = jfnk_newton_update(batched_resid, x, jv=jv)
+    elif solver == "dense":
         def newton_one(xx, a):
             f = resid(xx, a)
             J = jax.jacfwd(lambda y: resid(y, a))(xx)
@@ -416,6 +558,10 @@ def vertical_implicit(state, geom, constants, dt, newton_iters: int = 1,
 
         for _ in range(newton_iters):
             x = jax.vmap(newton_one)(x, aux)
+    else:
+        raise ValueError(
+            f"unknown vertical solver {solver!r}: expected 'banded', "
+            "'pallas', 'jfnk', or 'dense'")
 
     n = nz
     rt = x[:, :n].reshape(P, A, B, nz)

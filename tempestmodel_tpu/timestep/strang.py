@@ -69,6 +69,36 @@ def make_strang_step(cfg: ModelConfig, geom, dss_state: Callable,
         carry = jax.tree_util.tree_map(lambda a, b: a - b, u0, u1)
         return u0, carry
 
+    if cfg.explicit_vertical or cfg.timescheme.value == "erk":
+        # Fully-explicit path (--explicitvertical / TimestepSchemeERK):
+        # vertical terms join the RK stages; no implicit solve, no carry.
+        def stage_full(base, ueval, dt_s):
+            tend = nonhydro.horizontal_tendency(ueval, geom, constants)
+            vtend = nonhydro.vertical_explicit_tendency(
+                ueval, geom, constants)
+            for k, v in vtend.items():
+                tend[k] = tend[k] + v
+            upd = tree_axpy(base, tend, dt_s)
+            vinc = nonhydro.vertical_explicit_increment(ueval, geom, dt_s)
+            upd["U"] = upd["U"] + vinc["U"]
+            upd["V"] = upd["V"] + vinc["V"]
+            upd = nonhydro.apply_w_boundary(upd, geom)
+            return dss_state(upd)
+
+        @jax.jit
+        def erk_first(state):
+            u4 = erk_substep(cfg.explicit_scheme, state, dt, stage_full)
+            u1 = hyperdiff.step_after_subcycle_nh(
+                u4, dt, cfg, geom, dss_state, ref_state)
+            zero = jax.tree_util.tree_map(lambda a: a * 0.0, u1)
+            return u1, zero
+
+        @jax.jit
+        def erk_step(state, carry):
+            return erk_first(state)
+
+        return erk_first, erk_step
+
     @jax.jit
     def first_step(state):
         state = implicit(state, 0.5 * dt)

@@ -189,3 +189,26 @@ def test_density_current_develops():
     assert thp.min() < -2.0
     w_phys = np.asarray(m.state["W"] / m.geom.deriv_r_int[..., 2])
     assert w_phys.min() < -0.5          # sinking air
+
+
+def test_explicit_vertical_bubble():
+    """--explicitvertical: fully-explicit vertical integration matches the
+    HEVI solution closely at a vertically-CFL-stable dt."""
+    from tempestmodel_tpu.model import Model
+    from tempestmodel_tpu.config import EquationSet, TimestepSchemeType
+    tc = ThermalBubble()
+    base = dict(grid_kind=GridKind.CARTESIAN_XZ, nex=8, ney=1, order=4,
+                nz=16, ztop=tc.ztop, x_extent=tc.x_extent,
+                y_extent=tc.y_extent, dt=0.02, hyperdiffusion=False,
+                equation_set=EquationSet.PRIMITIVE_NONHYDRO)
+    m_exp = Model(ModelConfig(**base, timescheme=TimestepSchemeType.ERK,
+                              explicit_vertical=True), tc)
+    m_imp = Model(ModelConfig(**base), tc)
+    m_exp.go(nsteps=50)
+    m_imp.go(nsteps=50)
+    for k in ("Rt", "Rho"):
+        a = np.asarray(m_exp.state[k])
+        b = np.asarray(m_imp.state[k])
+        assert np.isfinite(a).all()
+        rel = np.abs(a - b).max() / np.abs(b).max()
+        assert rel < 1e-5, (k, rel)
