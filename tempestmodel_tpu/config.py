@@ -36,6 +36,7 @@ class VerticalStaggering(enum.Enum):
 class TimestepSchemeType(enum.Enum):
     STRANG = "strang"
     ERK = "erk"          # pure explicit (for --explicitvertical)
+    SPEX = "spex"        # split-explicit acoustic substepping
     ARS222 = "ars222"
     ARS232 = "ars232"
     ARK232 = "ark232"

@@ -102,7 +102,8 @@ class Model:
 
         if cfg.equation_set != EquationSet.SHALLOW_WATER:
             if cfg.timescheme in (TimestepSchemeType.STRANG,
-                                  TimestepSchemeType.ERK):
+                                  TimestepSchemeType.ERK,
+                                  TimestepSchemeType.SPEX):
                 self._first_step, self._step = nh_model.make_nh_step(
                     cfg, self.geom, ref_state=self.reference)
                 self._imex_step = None

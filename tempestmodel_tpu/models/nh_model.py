@@ -84,6 +84,10 @@ def make_nh_step(cfg: ModelConfig, geom, ref_state=None):
         dss_state = make_sphere_dss(geom)
     else:
         dss_state = make_cartesian_dss(geom)
+    from ..config import TimestepSchemeType
+    if cfg.timescheme == TimestepSchemeType.SPEX:
+        from .split_explicit import make_spex_step
+        return make_spex_step(cfg, geom, dss_state, ref_state)
     return make_strang_step(cfg, geom, dss_state, ref_state)
 
 
