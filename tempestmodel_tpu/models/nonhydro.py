@@ -535,6 +535,22 @@ def vertical_implicit(state, geom, constants, dt, newton_iters: int = 1,
             x = vb.banded_newton_update(batched_resid, x, q, nz,
                                         use_pallas=(solver == "pallas"),
                                         multi_jvp=multi_jvp)
+    elif solver == "schur":
+        # Schur elimination of W (reference --vmethod SCHUR)
+        from .vertical_schur import schur_newton_update
+
+        def batched_resid(xs):
+            return jax.vmap(resid)(xs, aux)
+
+        for _ in range(newton_iters):
+            xx = x
+
+            def multi_jvp(tangents):
+                return column_residual_multi_jvp(
+                    xx, aux, gmats, constants, dt, nz, tangents)
+
+            x = schur_newton_update(batched_resid, x, q, nz, geom.vo,
+                                    multi_jvp=multi_jvp)
     elif solver == "jfnk":
         # matrix-free Newton-Krylov (reference USE_JFNK_GMRES path)
         from .jfnk import jfnk_newton_update
@@ -561,7 +577,7 @@ def vertical_implicit(state, geom, constants, dt, newton_iters: int = 1,
     else:
         raise ValueError(
             f"unknown vertical solver {solver!r}: expected 'banded', "
-            "'pallas', 'jfnk', or 'dense'")
+            "'pallas', 'schur', 'jfnk', or 'dense'")
 
     n = nz
     rt = x[:, :n].reshape(P, A, B, nz)

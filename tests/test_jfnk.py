@@ -40,6 +40,22 @@ def test_gmres_batched_exact_small():
     assert float(jnp.abs(x - xref).max()) < 1e-10
 
 
+def test_schur_matches_dense(bubble):
+    """Schur elimination of W (reference --vmethod SCHUR,
+    ``VerticalDynamicsSchur.cpp:1395-1770``): quasi-Newton with the
+    W-W off-diagonals dropped; converges to the direct solution."""
+    cfg, geom, s0 = bubble
+    dt = 0.5
+    dense = nonhydro.vertical_implicit(s0, geom, cfg.constants, dt,
+                                       solver="dense", newton_iters=3)
+    schur = nonhydro.vertical_implicit(s0, geom, cfg.constants, dt,
+                                       solver="schur", newton_iters=3)
+    for k in ("Rt", "W", "Rho"):
+        scale = float(jnp.abs(dense[k]).max())
+        err = float(jnp.abs(dense[k] - schur[k]).max())
+        assert err < 1e-6 * max(scale, 1.0), (k, err, scale)
+
+
 def test_jfnk_matches_dense_newton(bubble):
     cfg, geom, s0 = bubble
     dt = 0.5
