@@ -98,6 +98,10 @@ class ModelConfig:
     hypervis_order: int = 4           # --hypervisorder (2 = Laplacian, 4 = default)
     instep_divergence_damping: bool = False
     rayleigh_damping: bool = False
+    # uniform (nu2) diffusion vs the reference state, active when nonzero
+    # (testcase GetUniformDiffusionCoeffs; Grid::HasUniformDiffusion)
+    nu_uniform_scalar: float = 0.0
+    nu_uniform_vector: float = 0.0
 
     # --- vertical solver ---
     newton_iterations: int = 1        # reference default does 1 Newton step/solve

@@ -120,9 +120,12 @@ class CartesianGeometry:
     penalty_right: Any
     wscat_left: Any
     wscat_right: Any
+    # lateral BC in x: "periodic" | "noflux" (reference
+    # Grid::BoundaryCondition_NoFlux, GridPatchCartesianGLL.cpp:928-1075)
+    bc_x: str = "periodic"
 
     _STATIC = ("nex", "ney", "p", "nz", "vo", "is_xz",
-               "delta_a", "delta_b", "reference_length")
+               "delta_a", "delta_b", "reference_length", "bc_x")
 
     def tree_flatten(self):
         d = dataclasses.asdict(self)
@@ -149,9 +152,10 @@ def _eval_rayleigh(rayleigh, z, x, y):
     if rayleigh is None:
         return np.zeros(z.shape)
     import inspect
-    nargs = len([p for p in inspect.signature(rayleigh).parameters.values()
-                 if p.default is inspect.Parameter.empty])
-    if nargs >= 2:
+    # pass (x, y) whenever the callable accepts them — optional x/y
+    # parameters (the testcase convention) still carry lateral sponges
+    nparams = len(inspect.signature(rayleigh).parameters)
+    if nparams >= 2:
         xb = np.broadcast_to(x[None, :, None, None], z.shape)
         yb = np.broadcast_to(y[None, None, :, None], z.shape)
         return np.asarray(rayleigh(z, xb, yb))
@@ -173,6 +177,7 @@ def build_cartesian_geometry(
     reference_latitude: float = 0.0,
     stretch=None,
     rayleigh=None,
+    bc_x: str = "periodic",
     dtype=jnp.float64,
 ) -> CartesianGeometry:
     """Precompute the Cartesian geometry pytree (host-side float64).
@@ -212,16 +217,17 @@ def build_cartesian_geometry(
     area2d = (arow * da * db)[None]
 
     # DSS multiplicity: interior element boundaries 2x; periodic wrap edges 2x
-    def mult1(ne):
+    def mult1(ne, wrap=True):
         m = np.ones(ne * p)
         for e in range(1, ne):
             m[e * p - 1] = 2.0
             m[e * p] = 2.0
-        if ne > 0:
+        if ne > 0 and wrap:
             m[0] *= 2.0
             m[-1] *= 2.0
         return m
-    inv_mult = 1.0 / (mult1(nex)[:, None] * mult1(ney)[None, :])[None]
+    inv_mult = 1.0 / (mult1(nex, bc_x == "periodic")[:, None]
+                      * mult1(ney)[None, :])[None]
 
     if topography is None:
         topo = np.zeros((1, A, B))
@@ -296,6 +302,7 @@ def build_cartesian_geometry(
         penalty_left=cast(ops.penalty_left),
         penalty_right=cast(ops.penalty_right),
         wscat_left=cast(ops.wscat_left), wscat_right=cast(ops.wscat_right),
+        bc_x=bc_x,
     )
 
 
@@ -324,9 +331,42 @@ def _pair_sum_axis(f, ne: int, p: int, axis: int, periodic: bool):
     return f
 
 
-def apply_dss_cartesian(f, geom: CartesianGeometry):
-    """DSS of a scalar (1, A, B, ...) field with periodic lateral BCs."""
-    f = _pair_sum_axis(f, geom.nex, geom.p, 1, True)
+def apply_dss_cartesian(f, geom: CartesianGeometry, halo=None):
+    """DSS of a scalar (1, A, B, ...) field.
+
+    x edges: periodic wrap-sum, or for ``bc_x == "noflux"`` an average
+    with the halo copy of the edge node (reference
+    ``GridCartesianGLL::ApplyDSS``: the halo coincides spatially with the
+    boundary node and carries the value from the instance's last
+    DSS/copy, ``GridCartesianGLL.cpp:600-660``).  ``halo``: array whose
+    x-edge values are the current halo contents; None = halo tracks the
+    edge (identity average).
+    """
+    f = _pair_sum_axis(f, geom.nex, geom.p, 1, geom.bc_x == "periodic")
     f = _pair_sum_axis(f, geom.ney, geom.p, 2, True)
     w = geom.inv_mult
-    return f * w.reshape(w.shape + (1,) * (f.ndim - 3))
+    f = f * w.reshape(w.shape + (1,) * (f.ndim - 3))
+    if geom.bc_x == "noflux" and halo is not None:
+        f = f.at[:, 0].set(0.5 * (f[:, 0] + halo[:, 0]))
+        f = f.at[:, -1].set(0.5 * (f[:, -1] + halo[:, -1]))
+    return f
+
+
+def apply_noflux_x(state, geom: CartesianGeometry):
+    """Impose zero normal contravariant velocity u^a = 0 at the x edges.
+
+    Reference ``GridPatchCartesianGLL::ApplyBoundaryConditions``
+    (``:928-1075``): U at the boundary is set so that
+    g^{aa} U + g^{ab} V + g^{a,xi} W = 0 with the boundary V/W values.
+    Applied after DSS (the reference's pre-DSS halo write + averaging
+    has the same fixed point).
+    """
+    if geom.bc_x != "noflux":
+        return state
+    u = state["U"]
+    gaa = geom.con2d[..., 0, 0, None]
+    gab = geom.con2d[..., 0, 1, None]
+    w_n = jnp.einsum("KL,...L->...K", geom.interp_i2n, state["W"])
+    u_fix = -(gab * state["V"] + geom.con_a_xi * w_n) / gaa
+    u = u.at[:, 0].set(u_fix[:, 0]).at[:, -1].set(u_fix[:, -1])
+    return dict(state, U=u)

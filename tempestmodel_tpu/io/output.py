@@ -200,6 +200,8 @@ class ReferenceOutput(OutputManager):
             if self.output_richardson:
                 fields["Ri"] = np.asarray(
                     it.scalar(self._richardson(model, s, c)))
+        for name, arr in getattr(model, "user_data", {}).items():
+            fields[name] = np.asarray(it.scalar(arr))
         if self.output_vorticity or self.output_divergence:
             from ..models.hyperdiff import curl_and_div
             vor, div = curl_and_div(s["U"], s["V"], model.geom)

@@ -67,6 +67,10 @@ class Model:
         self.step_count = 0
         self.time = 0.0
         self.carry = None
+        # registry of named user 2-D diagnostic fields (P, A, B), written
+        # by workflow processes and emitted by ReferenceOutput (analog of
+        # UserDataMeta, ``UserDataMeta.h:35+``)
+        self.user_data = {}
 
         if topography is None and testcase is not None:
             topography = getattr(testcase, "topography", None)
@@ -89,7 +93,8 @@ class Model:
                 cfg, topography=topography, ztop=ztop, rayleigh=rayleigh)
         else:
             self.geom = nh_model.build_nh_cartesian_geometry(
-                cfg, topography=topography, ztop=ztop, rayleigh=rayleigh)
+                cfg, topography=topography, ztop=ztop, rayleigh=rayleigh,
+                bc_x=getattr(testcase, "bc_x", "periodic"))
 
         self.state = None
         self.reference = None

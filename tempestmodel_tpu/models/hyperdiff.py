@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 
 from ..grid.geometry import CubedSphereGeometry
@@ -94,6 +95,32 @@ def vector_hyperdiff_update(u, v, nu_div, nu_vort, geom: CubedSphereGeometry):
     return du, dv
 
 
+def uniform_diffusion_update(upd, ueval, ref_state, nu_s, nu_v, dt, geom):
+    """Uniform (nu2) diffusion against the reference state.
+
+    Reference ``HorizontalDynamicsFEM.cpp:1817-1860`` (end of every
+    explicit stage when ``Grid::HasUniformDiffusion``): the Laplacians
+    are evaluated at the STAGE INPUT ``ueval`` (iDataInitial) minus the
+    reference, and added to the stage update ``upd``: vector Laplacian of
+    (U,V) with the vector coefficient, scalar Laplacian of Rt (scalar
+    coeff) and W (vector coeff).  Tracer mixing-ratio diffusion
+    (``:1105-1150``) is folded into the horizontal tendency by the
+    caller when tracers are present.
+    """
+    out = dict(upd)
+    du, dv = vector_hyperdiff_update(
+        ueval["U"] - ref_state["U"], ueval["V"] - ref_state["V"],
+        nu_v, nu_v, geom)
+    out["U"] = upd["U"] - dt * du
+    out["V"] = upd["V"] - dt * dv
+    # scalar_laplacian returns +lap; heat-equation damping adds it
+    out["Rt"] = upd["Rt"] + dt * nu_s * scalar_laplacian(
+        ueval["Rt"] - ref_state["Rt"], geom, geom.jac3d)
+    out["W"] = upd["W"] + dt * nu_v * scalar_laplacian(
+        ueval["W"] - ref_state["W"], geom, geom.jac3d_int)
+    return out
+
+
 def _weak_grad_a(f, geom):
     return sem.weak_grad_a(f, geom.stiff, geom.nea, geom.neb, geom.p,
                            geom.delta_a)
@@ -114,7 +141,7 @@ def nu_local_scale(geom) -> float:
 
 
 def step_after_subcycle_nh(state, dt, cfg, geom, dss_state: Callable,
-                           ref_state=None):
+                           ref_state=None, halo=None):
     """nu4/nu2 hyperviscosity for the nonhydrostatic state (Strang tail).
 
     Reference ``StepAfterSubCycle`` (``HorizontalDynamicsFEM.cpp:2637-2726``):
@@ -122,8 +149,17 @@ def step_after_subcycle_nh(state, dt, cfg, geom, dss_state: Callable,
     location/Jacobian), div/vort-split vector diffusion on U/V, with DSS
     between and after the two passes, followed by the tracer positivity
     filter and (APPLY_RAYLEIGH_WITH_HYPERVIS) Rayleigh damping.
+
+    ``halo``: no-flux halo shadow of ``state`` (cartesian bc_x="noflux"
+    only).  When given, returns (state, halo_out) with halo_out the
+    post-DSS pre-Rayleigh edge state (the halo content the next step's
+    instances inherit); the reference's working-pass DSS averages the
+    edge Laplacian against a ZeroData'd halo.
     """
     from . import nonhydro as nh
+
+    shadowed = halo is not None
+    hal_out = [halo]
 
     def finish(s, with_dss):
         # reference order: positivity filter -> DSS -> Rayleigh
@@ -131,10 +167,11 @@ def step_after_subcycle_nh(state, dt, cfg, geom, dss_state: Callable,
             s = dict(s, Tracers=nh.filter_negative_tracers_horizontal(
                 s["Tracers"], geom))
         if with_dss:
-            s = dss_state(s)
+            s = dss_state(s, halo=halo) if shadowed else dss_state(s)
+            hal_out[0] = s
         if cfg.rayleigh_damping and ref_state is not None:
             s = nh.apply_rayleigh(s, geom, ref_state, dt)
-        return s
+        return (s, hal_out[0]) if shadowed else s
 
     if not cfg.hyperdiffusion or (
             cfg.nu_scalar == 0 and cfg.nu_div == 0 and cfg.nu_vort == 0):
@@ -174,7 +211,12 @@ def step_after_subcycle_nh(state, dt, cfg, geom, dss_state: Callable,
     wu, wv = vector_hyperdiff_update(state["U"], state["V"], 1.0, 1.0, geom)
     work["U"] = -wu
     work["V"] = -wv
-    work = dss_state(work)
+    if shadowed:
+        # working instance was ZeroData'd: its halo is zero
+        zero_halo = jax.tree_util.tree_map(lambda a: a * 0.0, work)
+        work = dss_state(work, halo=zero_halo)
+    else:
+        work = dss_state(work)
 
     parts = scalar_parts(work, -dt, nu_s)
     du, dv = vector_hyperdiff_update(work["U"], work["V"], nu_d, nu_v, geom)

@@ -25,27 +25,40 @@ def _stretch(cfg: ModelConfig):
 
 
 def build_nh_cartesian_geometry(cfg: ModelConfig, topography=None,
-                                ztop: float = None, rayleigh=None):
+                                ztop: float = None, rayleigh=None,
+                                bc_x: str = "periodic"):
     return cart.build_cartesian_geometry(
         nex=cfg.nex, ney=cfg.ney, p=cfg.order, nz=cfg.nz,
         x_extent=cfg.x_extent, y_extent=cfg.y_extent,
         ztop=ztop if ztop is not None else cfg.ztop,
         constants=cfg.constants, vertical_order=cfg.vertical_order,
-        topography=topography, rayleigh=rayleigh,
+        topography=topography, rayleigh=rayleigh, bc_x=bc_x,
         is_xz=(cfg.grid_kind == GridKind.CARTESIAN_XZ),
         stretch=_stretch(cfg), dtype=cfg.dtype)
 
 
 def make_cartesian_dss(geom) -> Callable:
     """DSS over the full nonhydrostatic state (flat metric: all scalars)."""
-    def dss_state(s):
+    def dss_state(s, halo=None):
         out = {}
         for k, f in s.items():
+            hk = halo.get(k) if halo is not None else None
             if k == "Tracers":
-                out[k] = jax.vmap(
-                    lambda x: cart.apply_dss_cartesian(x, geom))(f)
+                if hk is None:
+                    out[k] = jax.vmap(
+                        lambda x: cart.apply_dss_cartesian(x, geom))(f)
+                else:
+                    out[k] = jax.vmap(
+                        lambda x, h: cart.apply_dss_cartesian(
+                            x, geom, halo=h))(f, hk)
             else:
-                out[k] = cart.apply_dss_cartesian(f, geom)
+                out[k] = cart.apply_dss_cartesian(f, geom, halo=hk)
+        # NOTE: no u^a=0 overwrite here — the reference's no-flux velocity
+        # fix (ApplyBoundaryConditions) writes halo nodes its DSS never
+        # reads (GridPatchCartesianGLL.cpp:1180: pairs (0,1) while the
+        # averaging pairs (3,4)), so at the wall U is averaged with its
+        # lagged halo exactly like a scalar.  apply_noflux_x remains
+        # available as the clean SEM treatment for non-parity use.
         return out
     return dss_state
 

@@ -136,4 +136,5 @@ class KesslerPhysics(WorkflowProcess):
             self._jitted = jax.jit(update)
         new_state, precl = self._jitted(model.state)
         self.precl = precl
+        model.user_data["PRECL"] = precl     # large-scale precip (m/s)
         return new_state

@@ -98,6 +98,7 @@ class DensityCurrent:
     x_extent = (0.0, 25600.0)
     y_extent = (-100.0, 100.0)
     ztop = 6400.0
+    bc_x = "noflux"          # reference: BoundaryCondition_NoFlux in X
 
     def theta_perturbation(self, x, z, exner):
         r = np.sqrt(((x - self.x_c) / 4000.0) ** 2
@@ -113,9 +114,10 @@ class DensityCurrent:
         return exner, rho
 
     def rayleigh_strength(self, z, x=None, y=None):
-        """Sponge at the top and both lateral ends (reference ``:180-205``)."""
+        """Sponge at the top and both lateral ends (reference ``:173-204``:
+        strength 8e-3, depth 1400 m, width 1000 m)."""
         strength = 8.0e-3
-        depth, width = 1500.0, 3000.0
+        depth, width = 1400.0, 1000.0
         nu = np.where(z > self.ztop - depth,
                       0.5 * strength * (1.0 + np.cos(
                           np.pi * (self.ztop - z) / depth)), 0.0)
@@ -246,3 +248,147 @@ class InertiaGravityWave:
         z = np.asarray(geom.z_lev)
         theta_b, rho = self._background(z, constants)
         return _state_dict(geom, theta_b, rho, u_lev=self.u0, dtype=dtype)
+
+
+@dataclasses.dataclass(frozen=True)
+class ShearJetMountainWave:
+    """Shear jet over a Schar-profile mountain with a tropopause.
+
+    Reference: ``test/nonhydro_xz/ShearJetMtnWave2DCartesianTest.cpp``
+    (b=2, u0=10, uj=5, gamma=0.0065, gamma_str=-0.002, T0=280, hC=250,
+    aC=5000, lC=4000; domain [-40 km, 40 km] x [0, 30 km], periodic,
+    tropopause at 12 km with a 3 km isothermal mixed layer).  The state
+    is hydrostatically balanced in the pressure coordinate eta solved
+    pointwise by Newton iteration (``EtaFromRLL``), with zonal wind
+    u(eta) = u0 - uj/2 ln(eta) exp(-(ln eta / b)^2).  Exercises the
+    terrain-following metric with a realistic stratification.
+    """
+    b_c: float = 2.0
+    u0: float = 10.0
+    u_j: float = 5.0
+    gamma: float = 0.0065
+    gamma_str: float = -0.002
+    t0: float = 280.0
+    h_c: float = 250.0
+    a_c: float = 5000.0
+    l_c: float = 4000.0
+    tp_height: float = 12000.0
+    tp_mixed: float = 3000.0
+    rayleigh: bool = True
+
+    x_extent = (-40000.0, 40000.0)
+    y_extent = (-500.0, 500.0)
+    ztop = 30000.0
+
+    def topography(self, x, y):
+        return (self.h_c * np.exp(-(x / self.a_c) ** 2)
+                * np.cos(np.pi * x / self.l_c) ** 2)
+
+    def rayleigh_strength(self, z, x=None, y=None):
+        strength = 1.0e-2
+        depth, width = 5000.0, 5000.0
+        nu = np.where(z > self.ztop - depth,
+                      0.5 * strength * (1.0 + np.cos(
+                          np.pi * (self.ztop - z) / depth)), 0.0)
+        if x is not None:
+            x0, x1 = self.x_extent
+            nu_r = np.where(x > x1 - width,
+                            0.5 * strength * (1.0 + np.cos(
+                                np.pi * (x1 - x) / width)), 0.0)
+            nu_l = np.where(x < x0 + width,
+                            0.5 * strength * (1.0 + np.cos(
+                                np.pi * (x - x0) / width)), 0.0)
+            nu = np.maximum(nu, np.maximum(nu_r, nu_l))
+        return nu
+
+    def _tp_constants(self, c):
+        """Bootstrap tropopause constants (reference constructor
+        ``:198-218``): Newton for eta at the tropopause (branch 1) and at
+        the top of the mixed layer (branch 2)."""
+        g, Rd = c.g, c.Rd
+
+        def newton_b1(z):
+            eta = 1.0e-5
+            for _ in range(200):
+                T = self.t0 * eta ** (Rd * self.gamma / g)
+                phi = self.t0 * g / self.gamma * (
+                    1.0 - eta ** (Rd * self.gamma / g))
+                f = -g * z + phi
+                df = -Rd / eta * T
+                new = eta - f / df
+                if abs(new - eta) < 1e-13:
+                    return new, T, phi
+                eta = new
+            return eta, T, phi
+
+        eta1, T1, phi1 = newton_b1(self.tp_height)
+
+        def newton_b2(z):
+            eta = 1.0e-5
+            for _ in range(200):
+                phi = (-Rd * T1 * np.log(eta) + Rd * T1 * np.log(eta1)
+                       + phi1)
+                f = -g * z + phi
+                df = -Rd / eta * T1
+                new = eta - f / df
+                if abs(new - eta) < 1e-13:
+                    return new, phi
+                eta = new
+            return eta, phi
+
+        eta2, phi2 = newton_b2(self.tp_height + self.tp_mixed)
+        return eta1, T1, phi1, eta2, phi2
+
+    def _profiles(self, z, c):
+        """(T, eta) at heights z via vectorized Newton (``EtaFromRLL``)."""
+        g, Rd = c.g, c.Rd
+        eta1, T1, phi1, eta2, phi2 = self._tp_constants(c)
+        z = np.asarray(z, dtype=np.float64)
+        b1 = z <= self.tp_height
+        b2 = (z > self.tp_height) & (z <= self.tp_height + self.tp_mixed)
+        b3 = z > self.tp_height + self.tp_mixed
+
+        eta = np.full(z.shape, 1.0e-5)
+        for _ in range(200):
+            T = np.where(
+                b1, self.t0 * eta ** (Rd * self.gamma / g),
+                np.where(b2, T1,
+                         T1 * (eta / eta2) ** (Rd * self.gamma_str / g)))
+            phi = np.where(
+                b1, self.t0 * g / self.gamma * (
+                    1.0 - eta ** (Rd * self.gamma / g)),
+                np.where(
+                    b2, -Rd * T1 * np.log(eta) + Rd * T1 * np.log(eta1)
+                    + phi1,
+                    T1 * g / self.gamma_str * (
+                        1.0 - (eta / eta2) ** (Rd * self.gamma_str / g))
+                    + phi2))
+            f = -g * z + phi
+            df = -Rd / eta * T
+            new = eta - f / df
+            if np.max(np.abs(new - eta)) < 1e-14:
+                eta = new
+                break
+            eta = new
+        T = np.where(
+            b1, self.t0 * eta ** (Rd * self.gamma / g),
+            np.where(b2, T1,
+                     T1 * (eta / eta2) ** (Rd * self.gamma_str / g)))
+        return T, eta
+
+    def _state(self, z, c):
+        T, eta = self._profiles(z, c)
+        lg = np.log(eta)
+        u = self.u0 - self.u_j * 0.5 * lg * np.exp(-(lg / self.b_c) ** 2)
+        p = c.P0 * eta
+        rho = p / (c.Rd * T)
+        theta = np.asarray(c.rhotheta_from_pressure(p)) / rho
+        return theta, rho, u
+
+    def initial_state(self, geom, constants, dtype=jnp.float64):
+        z = np.asarray(geom.z_lev)
+        theta, rho, u = self._state(z, constants)
+        return _state_dict(geom, theta, rho, u_lev=u, dtype=dtype)
+
+    def reference_state(self, geom, constants, dtype=jnp.float64):
+        return self.initial_state(geom, constants, dtype=dtype)

@@ -34,13 +34,27 @@ def make_strang_step(cfg: ModelConfig, geom, dss_state: Callable,
     dt = cfg.dt
     oc = cfg.off_centering
 
-    def stage(base, ueval, dt_s):
+    uniform_on = ((cfg.nu_uniform_scalar != 0.0
+                   or cfg.nu_uniform_vector != 0.0)
+                  and ref_state is not None)
+    # no-flux lateral BC: emulate the reference's per-instance halos by
+    # threading a "shadow" state through the RK combinations (see
+    # erk_substep shadow0)
+    noflux = getattr(geom, "bc_x", "periodic") == "noflux"
+
+    def stage(base, ueval, dt_s, shadow=None):
         tend = nonhydro.horizontal_tendency(ueval, geom, constants)
         upd = tree_axpy(base, tend, dt_s)
         vinc = nonhydro.vertical_explicit_increment(ueval, geom, dt_s)
         upd["U"] = upd["U"] + vinc["U"]
         upd["V"] = upd["V"] + vinc["V"]
+        if uniform_on:
+            upd = hyperdiff.uniform_diffusion_update(
+                upd, ueval, ref_state, cfg.nu_uniform_scalar,
+                cfg.nu_uniform_vector, dt_s, geom)
         upd = nonhydro.apply_w_boundary(upd, geom)
+        if shadow is not None:
+            return dss_state(upd, halo=shadow)
         return dss_state(upd)
 
     if cfg.vertical_solver == "banded":
@@ -57,16 +71,23 @@ def make_strang_step(cfg: ModelConfig, geom, dss_state: Callable,
                 out["Tracers"], geom))
         return out
 
-    def tail(state):
+    def tail(state, hal=None):
         """Explicit RK + hyperdiffusion + closing implicit (shared path)."""
-        u4 = erk_substep(cfg.explicit_scheme, state, dt, stage)
-        u1 = hyperdiff.step_after_subcycle_nh(u4, dt, cfg, geom, dss_state,
-                                              ref_state)
+        u4 = erk_substep(cfg.explicit_scheme, state, dt, stage,
+                         shadow0=hal if noflux else None)
+        if noflux:
+            u1, hal = hyperdiff.step_after_subcycle_nh(
+                u4, dt, cfg, geom, dss_state, ref_state, halo=u4)
+        else:
+            u1 = hyperdiff.step_after_subcycle_nh(
+                u4, dt, cfg, geom, dss_state, ref_state)
         u0 = implicit(u1, 0.5 * (1.0 + oc) * dt)
         if oc != 0.0:
             u0 = jax.tree_util.tree_map(
                 lambda a, b: 0.5 * (2.0 - oc) * a + 0.5 * oc * b, u0, u1)
         carry = jax.tree_util.tree_map(lambda a, b: a - b, u0, u1)
+        if noflux:
+            carry = {"inc": carry, "halo": hal}
         return u0, carry
 
     if cfg.explicit_vertical or cfg.timescheme.value == "erk":
@@ -82,6 +103,10 @@ def make_strang_step(cfg: ModelConfig, geom, dss_state: Callable,
             vinc = nonhydro.vertical_explicit_increment(ueval, geom, dt_s)
             upd["U"] = upd["U"] + vinc["U"]
             upd["V"] = upd["V"] + vinc["V"]
+            if uniform_on:
+                upd = hyperdiff.uniform_diffusion_update(
+                    upd, ueval, ref_state, cfg.nu_uniform_scalar,
+                    cfg.nu_uniform_vector, dt_s, geom)
             upd = nonhydro.apply_w_boundary(upd, geom)
             return dss_state(upd)
 
@@ -101,15 +126,21 @@ def make_strang_step(cfg: ModelConfig, geom, dss_state: Callable,
 
     @jax.jit
     def first_step(state):
+        hal = state if noflux else None   # t=0 halos = initial edge values
         state = implicit(state, 0.5 * dt)
-        return tail(state)
+        return tail(state, hal)
 
     @jax.jit
     def step(state, carry):
+        if noflux:
+            hal = carry["halo"]
+            carry = carry["inc"]
+        else:
+            hal = None
         state = jax.tree_util.tree_map(lambda a, b: a + b, state, carry)
         if "Tracers" in state:
             state = dict(state, Tracers=nonhydro.filter_negative_tracers_column(
                 state["Tracers"], geom))
-        return tail(state)
+        return tail(state, hal)
 
     return first_step, step

@@ -64,8 +64,8 @@ def assert_state_close(state, golden_patch, rtol_scalar=1e-6,
         rel = np.abs(ref - mine).max() / scale
         report[k] = rel
         tol = rtol_vel if k in ("U", "V") else rtol_scalar
-        if k == "V" and scale < 1e-20:
-            continue
+        if k == "V" and scale < 1e-8:
+            continue          # XZ slice: V is roundoff noise
         assert rel < tol, f"{k}: rel err {rel:.3e} > {tol} ({report})"
     ref_w = redge[3]
     mine_w = np.asarray(state["W"])[0]
@@ -194,3 +194,53 @@ def test_parity_umjs_sphere():
     ref_w = redge_ref[:, 3]
     rel = np.abs(ref_w - np.asarray(s["W"])).max() / np.abs(ref_w).max()
     assert rel < 0.12, f"W: rel {rel:.3e}"
+
+
+def test_parity_density_current():
+    """Straka density current with Rayleigh sponges and uniform (nu2)
+    diffusion (reference coeffs 300/300, DensityCurrentCartesianTest.cpp
+    :151-152) — 20 steps vs the reference dump."""
+    from tempestmodel_tpu.testcases.nonhydro_xz import DensityCurrent
+    golden = load_golden("densitycurrent.bin.gz")[0]
+    tc = DensityCurrent()
+    cfg = ModelConfig(grid_kind=GridKind.CARTESIAN_XZ, nex=16, ney=1,
+                      order=4, nz=32, ztop=tc.ztop, x_extent=tc.x_extent,
+                      y_extent=tc.y_extent, dt=0.1, hyperdiffusion=False,
+                      rayleigh_damping=True,
+                      nu_uniform_scalar=300.0, nu_uniform_vector=300.0)
+    geom = nh_model.build_nh_cartesian_geometry(
+        cfg, rayleigh=tc.rayleigh_strength, bc_x="noflux")
+    s0 = tc.initial_state(geom, cfg.constants)
+    ref = tc.reference_state(geom, cfg.constants)
+    first_step, step = nh_model.make_nh_step(cfg, geom, ref_state=ref)
+    s, carry = first_step(s0)
+    for _ in range(19):
+        s, carry = step(s, carry)
+    # measured: Rt/Rho ~2e-5, U ~1.6e-3, W ~1.3e-3 at dt=0.1 — the
+    # residual is the reference's approximate-Jacobian Newton truncation
+    # amplified by the -15K bubble (scales ~dt^2 for Rho/W; verified)
+    assert_state_close(s, golden, rtol_scalar=1e-4, rtol_vel=5e-3)
+
+
+def test_parity_shearjet_mountain():
+    """Shear jet over the Schar mountain: terrain-following metric,
+    x-dependent Rayleigh sponge, tropopause profile — 20 steps vs the
+    reference dump (ShearJetMtnWave2DCartesianTest.cpp)."""
+    from tempestmodel_tpu.testcases.nonhydro_xz import ShearJetMountainWave
+    golden = load_golden("shearjet.bin.gz")[0]
+    tc = ShearJetMountainWave()
+    cfg = ModelConfig(grid_kind=GridKind.CARTESIAN_XZ, nex=40, ney=1,
+                      order=4, nz=20, ztop=tc.ztop, x_extent=tc.x_extent,
+                      y_extent=tc.y_extent, dt=0.1, hyperdiffusion=False,
+                      rayleigh_damping=True)
+    geom = nh_model.build_nh_cartesian_geometry(
+        cfg, topography=tc.topography, rayleigh=tc.rayleigh_strength)
+    s0 = tc.initial_state(geom, cfg.constants)
+    ref = tc.reference_state(geom, cfg.constants)
+    first_step, step = nh_model.make_nh_step(cfg, geom, ref_state=ref)
+    s, carry = first_step(s0)
+    for _ in range(19):
+        s, carry = step(s, carry)
+    # measured: Rt/Rho ~1.3e-5, U ~1.1e-4, W ~5.3e-4 at dt=0.1
+    # (Newton-truncation-limited like the IGW case)
+    assert_state_close(s, golden, rtol_scalar=5e-5, rtol_vel=2e-3)
