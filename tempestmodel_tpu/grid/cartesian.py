@@ -120,12 +120,13 @@ class CartesianGeometry:
     penalty_right: Any
     wscat_left: Any
     wscat_right: Any
-    # lateral BC in x: "periodic" | "noflux" (reference
+    # lateral BCs: "periodic" | "noflux" (reference
     # Grid::BoundaryCondition_NoFlux, GridPatchCartesianGLL.cpp:928-1075)
     bc_x: str = "periodic"
+    bc_y: str = "periodic"
 
     _STATIC = ("nex", "ney", "p", "nz", "vo", "is_xz",
-               "delta_a", "delta_b", "reference_length", "bc_x")
+               "delta_a", "delta_b", "reference_length", "bc_x", "bc_y")
 
     def tree_flatten(self):
         d = dataclasses.asdict(self)
@@ -178,6 +179,7 @@ def build_cartesian_geometry(
     stretch=None,
     rayleigh=None,
     bc_x: str = "periodic",
+    bc_y: str = "periodic",
     dtype=jnp.float64,
 ) -> CartesianGeometry:
     """Precompute the Cartesian geometry pytree (host-side float64).
@@ -227,7 +229,7 @@ def build_cartesian_geometry(
             m[-1] *= 2.0
         return m
     inv_mult = 1.0 / (mult1(nex, bc_x == "periodic")[:, None]
-                      * mult1(ney)[None, :])[None]
+                      * mult1(ney, bc_y == "periodic")[None, :])[None]
 
     if topography is None:
         topo = np.zeros((1, A, B))
@@ -302,7 +304,7 @@ def build_cartesian_geometry(
         penalty_left=cast(ops.penalty_left),
         penalty_right=cast(ops.penalty_right),
         wscat_left=cast(ops.wscat_left), wscat_right=cast(ops.wscat_right),
-        bc_x=bc_x,
+        bc_x=bc_x, bc_y=bc_y,
     )
 
 
@@ -343,12 +345,15 @@ def apply_dss_cartesian(f, geom: CartesianGeometry, halo=None):
     edge (identity average).
     """
     f = _pair_sum_axis(f, geom.nex, geom.p, 1, geom.bc_x == "periodic")
-    f = _pair_sum_axis(f, geom.ney, geom.p, 2, True)
+    f = _pair_sum_axis(f, geom.ney, geom.p, 2, geom.bc_y == "periodic")
     w = geom.inv_mult
     f = f * w.reshape(w.shape + (1,) * (f.ndim - 3))
     if geom.bc_x == "noflux" and halo is not None:
         f = f.at[:, 0].set(0.5 * (f[:, 0] + halo[:, 0]))
         f = f.at[:, -1].set(0.5 * (f[:, -1] + halo[:, -1]))
+    if geom.bc_y == "noflux" and halo is not None:
+        f = f.at[:, :, 0].set(0.5 * (f[:, :, 0] + halo[:, :, 0]))
+        f = f.at[:, :, -1].set(0.5 * (f[:, :, -1] + halo[:, :, -1]))
     return f
 
 
@@ -370,3 +375,22 @@ def apply_noflux_x(state, geom: CartesianGeometry):
     u_fix = -(gab * state["V"] + geom.con_a_xi * w_n) / gaa
     u = u.at[:, 0].set(u_fix[:, 0]).at[:, -1].set(u_fix[:, -1])
     return dict(state, U=u)
+
+
+def apply_noflux_y(state, geom: CartesianGeometry):
+    """Impose zero normal contravariant velocity u^b = 0 at the y edges.
+
+    Mirror of :func:`apply_noflux_x` for channel grids (reference
+    ``GridPatchCartesianGLL::ApplyBoundaryConditions`` with
+    ``m_iLatBC[1/3] == BoundaryCondition_NoFlux``, e.g. the 3-D Cartesian
+    baroclinic channel ``test/nonhydro_xz/Baroclinic3DCartesianTest.cpp:
+    144-147``)."""
+    if geom.bc_y != "noflux":
+        return state
+    v = state["V"]
+    gbb = geom.con2d[..., 1, 1, None]
+    gab = geom.con2d[..., 0, 1, None]
+    w_n = jnp.einsum("KL,...L->...K", geom.interp_i2n, state["W"])
+    v_fix = -(gab * state["U"] + geom.con_b_xi * w_n) / gbb
+    v = v.at[:, :, 0].set(v_fix[:, :, 0]).at[:, :, -1].set(v_fix[:, :, -1])
+    return dict(state, V=v)

@@ -26,14 +26,17 @@ def _stretch(cfg: ModelConfig):
 
 def build_nh_cartesian_geometry(cfg: ModelConfig, topography=None,
                                 ztop: float = None, rayleigh=None,
-                                bc_x: str = "periodic"):
+                                bc_x: str = "periodic",
+                                bc_y: str = "periodic",
+                                reference_latitude: float = 0.0):
     return cart.build_cartesian_geometry(
         nex=cfg.nex, ney=cfg.ney, p=cfg.order, nz=cfg.nz,
         x_extent=cfg.x_extent, y_extent=cfg.y_extent,
         ztop=ztop if ztop is not None else cfg.ztop,
         constants=cfg.constants, vertical_order=cfg.vertical_order,
-        topography=topography, rayleigh=rayleigh, bc_x=bc_x,
+        topography=topography, rayleigh=rayleigh, bc_x=bc_x, bc_y=bc_y,
         is_xz=(cfg.grid_kind == GridKind.CARTESIAN_XZ),
+        reference_latitude=reference_latitude,
         stretch=_stretch(cfg), dtype=cfg.dtype)
 
 

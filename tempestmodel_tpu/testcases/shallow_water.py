@@ -152,6 +152,95 @@ class RossbyHaurwitz:
 
 
 @dataclasses.dataclass(frozen=True)
+class ShallowWaterEddy:
+    """Shallow-water eddy: rotated symmetric double jet + height bump.
+
+    Reference: ``test/shallowwater_sphere/ShallowWaterEddyTest.cpp`` —
+    a Galewsky-style jet evaluated at |lat'| in *rotated* coordinates
+    (rotation angle ``alpha``, ``CalculateRLLPrime`` :109-136), so both
+    hemispheres carry the jet, with the balanced height integrated
+    numerically (:184-246) and a fixed Gaussian perturbation (:253-257).
+    """
+    u0: float = 80.0
+    h0: float = 10158.18617045463179
+    lat0: float = np.pi / 7.0
+    lat1: float = 0.5 * np.pi - np.pi / 7.0
+    alpha: float = 0.0
+    h_hat: float = 120.0
+    h_phi2: float = np.pi / 4.0
+    h_alpha: float = 1.0 / 3.0
+    h_beta: float = 1.0 / 15.0
+
+    def _u_jet(self, lat):
+        lat = np.abs(lat)
+        en = np.exp(-4.0 / (self.lat1 - self.lat0) ** 2)
+        with np.errstate(divide="ignore", over="ignore"):
+            u = self.u0 / en * np.exp(
+                1.0 / ((lat - self.lat0) * (lat - self.lat1)))
+        return np.where((lat > self.lat0) & (lat < self.lat1), u, 0.0)
+
+    def _rotate(self, lon, lat):
+        """Rotated-frame (lon', lat') (reference ``CalculateRLLPrime``)."""
+        a = self.alpha
+        if a == 0.0:
+            return lon, lat
+        latp = np.arcsin(np.sin(lat) * np.cos(a)
+                         - np.cos(lat) * np.cos(lon) * np.sin(a))
+        lonp = np.arcsin(np.clip(
+            np.sin(lon) * np.cos(lat) / np.cos(latp), -1.0, 1.0))
+        temp = (np.cos(a) * np.cos(lon) * np.cos(lat)
+                + np.sin(a) * np.sin(lat))
+        lonp = np.where(temp < 0.0, np.pi - lonp, lonp)
+        lonp = np.where(lonp < 0.0, lonp + 2.0 * np.pi, lonp)
+        return lonp, latp
+
+    def evaluate(self, lon, lat, constants: PhysicalConstants):
+        a_r = constants.earth_radius
+        g = constants.g
+        Om = constants.omega
+        lonp, latp = self._rotate(lon, lat)
+        # balanced height: g dh/dphi = -(2 a Om sin(phi) + u tan(phi)) u
+        phi = np.linspace(-0.5 * np.pi + 1e-8, 0.5 * np.pi - 1e-8, 40001)
+        u = self._u_jet(phi)
+        integrand = u * (2.0 * a_r * Om * np.sin(phi) + u * np.tan(phi))
+        dphi = phi[1] - phi[0]
+        cum = np.concatenate([[0.0], np.cumsum(
+            0.5 * (integrand[1:] + integrand[:-1]) * dphi)])
+        h = self.h0 - np.interp(latp, phi, cum) / g
+        # Gaussian perturbation in *unrotated* coordinates (:248-257)
+        lonw = np.where(lon > np.pi, lon - 2.0 * np.pi, lon)
+        h = h + self.h_hat * np.cos(lat) \
+            * np.exp(-(lonw / self.h_alpha) ** 2) \
+            * np.exp(-((self.h_phi2 - lat) / self.h_beta) ** 2)
+        # velocity field rotated back to unrotated frame (:262-296)
+        up = self._u_jet(latp)
+        if self.alpha == 0.0:
+            ulon, ulat = up, np.zeros_like(up)
+        else:
+            coslat = np.maximum(np.cos(lat), 1e-13)
+            ulat = -up * np.sin(self.alpha) * np.sin(lonp) / coslat
+            coslon = np.cos(lon)
+            safe = np.abs(coslon) >= 1e-13
+            ulon_reg = (ulat * np.sin(lat) * np.sin(lon)
+                        + up * np.cos(lonp)) / np.where(safe, coslon, 1.0)
+            ulon_sing = np.where(coslon > 0.0,
+                                 -ulat * np.cos(lat) / np.tan(self.alpha),
+                                 ulat * np.cos(lat) / np.tan(self.alpha))
+            ulon = np.where(safe, ulon_reg, ulon_sing)
+        shape = np.broadcast_arrays(lon, lat)[0].shape
+        return (np.broadcast_to(ulon, shape).copy(),
+                np.broadcast_to(ulat, shape).copy(),
+                np.broadcast_to(h, shape).copy())
+
+    def initial_state(self, geom, constants, dtype=jnp.float64):
+        ulon, ulat, h = self.evaluate(np.asarray(geom.lon),
+                                      np.asarray(geom.lat), constants)
+        U, V = sphere_velocity_to_covariant(ulon, ulat, geom, constants)
+        return {"U": jnp.asarray(U, dtype), "V": jnp.asarray(V, dtype),
+                "H": jnp.asarray(h, dtype)}
+
+
+@dataclasses.dataclass(frozen=True)
 class BarotropicInstability:
     """Galewsky et al. (2004) barotropic instability.
 
