@@ -94,7 +94,10 @@ class Model:
         else:
             self.geom = nh_model.build_nh_cartesian_geometry(
                 cfg, topography=topography, ztop=ztop, rayleigh=rayleigh,
-                bc_x=getattr(testcase, "bc_x", "periodic"))
+                bc_x=getattr(testcase, "bc_x", "periodic"),
+                bc_y=getattr(testcase, "bc_y", "periodic"),
+                reference_latitude=getattr(
+                    testcase, "reference_latitude", 0.0))
 
         self.state = None
         self.reference = None
