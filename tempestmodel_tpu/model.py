@@ -58,6 +58,13 @@ class Model:
                  rayleigh=None, output_managers: Sequence = (),
                  workflow_processes: Sequence[WorkflowProcess] = (),
                  verbose: bool = False):
+        # test-case physical-constants override (the reference's
+        # TestCase::EvaluatePhysicalConstants hook, TestCase.h:103-110,
+        # e.g. ShallowWaterEddyTest sets omega = 0)
+        if testcase is not None and hasattr(testcase, "physical_constants"):
+            import dataclasses as _dc
+            cfg = _dc.replace(
+                cfg, constants=testcase.physical_constants(cfg.constants))
         self.cfg = cfg
         self.testcase = testcase
         self.output_managers = list(output_managers)

@@ -275,18 +275,41 @@ def make_spex_step(cfg: ModelConfig, geom, dss_state, ref_state=None):
         tend["V"] = tend["V"] + vinc["V"]
         return dss_state(tend)
 
+    # No-flux lateral walls: SPEX does not thread the Strang stepper's
+    # per-instance halo shadows, so enforce u^a/u^b = 0 at the walls
+    # directly after DSS (the clean SEM treatment; documented deviation
+    # from the reference's halo-averaging quirk).
+    noflux_x = getattr(geom, "bc_x", "periodic") == "noflux"
+    noflux_y = getattr(geom, "bc_y", "periodic") == "noflux"
+
+    def post(upd):
+        upd = dss_state(upd)
+        if noflux_x:
+            from ..grid.cartesian import apply_noflux_x
+            upd = apply_noflux_x(upd, geom)
+        if noflux_y:
+            from ..grid.cartesian import apply_noflux_y
+            upd = apply_noflux_y(upd, geom)
+        return upd
+
     def substage(base, ueval, dt_s):
         tend = full_tendency(ueval)
         inc = acoustic_loop(ueval, tend, dt_s)
         upd = jax.tree_util.tree_map(lambda a, b: a + b, base, inc)
         upd = nonhydro.apply_w_boundary(upd, geom)
-        return dss_state(upd)
+        return post(upd)
 
     @jax.jit
     def first_step(state):
         u4 = erk_substep(ExplicitSubScheme.KGU35, state, dt, substage)
         u1 = hyperdiff.step_after_subcycle_nh(u4, dt, cfg, geom,
                                               dss_state, ref_state)
+        if noflux_x:
+            from ..grid.cartesian import apply_noflux_x
+            u1 = apply_noflux_x(u1, geom)
+        if noflux_y:
+            from ..grid.cartesian import apply_noflux_y
+            u1 = apply_noflux_y(u1, geom)
         zero = jax.tree_util.tree_map(lambda a: a * 0.0, u1)
         return u1, zero
 

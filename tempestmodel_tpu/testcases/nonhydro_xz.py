@@ -362,6 +362,10 @@ class HydrostaticMountain:
         return self.h_c / (1.0 + ((x - self.x_c) / self.a_c) ** 2)
 
     def rayleigh_strength(self, z, x=None, y=None):
+        """Replicates the reference exactly, including its inverted left
+        sponge (``HydrostaticMountainCartesianTest.cpp:194``: dNormX =
+        1 - (x-x0)/width, i.e. zero at the left boundary and maximal at
+        the inner sponge edge — kept verbatim for bit-level parity)."""
         strength = 8.0e-3
         depth, width = 10000.0, 20000.0
         nu = np.where(z > self.ztop - depth,
@@ -374,7 +378,7 @@ class HydrostaticMountain:
                                 np.pi * (x1 - x) / width)), 0.0)
             nu_l = np.where(x < x0 + width,
                             0.5 * strength * (1.0 + np.cos(
-                                np.pi * (x - x0) / width)), 0.0)
+                                np.pi * (1.0 - (x - x0) / width))), 0.0)
             nu = np.maximum(nu, np.maximum(nu_r, nu_l))
         return nu
 
@@ -473,7 +477,10 @@ class Baroclinic3DChannel:
     t0: float = 288.0
     l_p: float = 600000.0
     x_c: float = 2000000.0
-    y_c: float = 2500000.0
+    # perturbation center: reference defaults Yc=2.5e6 (non-ridge,
+    # Baroclinic3DCartesianTest.cpp) but Yc=3e6 for the ridge variant
+    # (Baroclinic3DCartesianRidgeTest.cpp:523); None = variant default.
+    y_c: float = None
     ridge: bool = False
     ridge_h: float = 400.0
     ridge_a: float = 1000000.0
@@ -484,6 +491,11 @@ class Baroclinic3DChannel:
     y_extent = (0.0, 6000000.0)
     ztop = 30000.0
     bc_y = "noflux"
+
+    def __post_init__(self):
+        if self.y_c is None:
+            object.__setattr__(self, "y_c",
+                               3000000.0 if self.ridge else 2500000.0)
 
     @property
     def y0(self):
@@ -498,9 +510,22 @@ class Baroclinic3DChannel:
             np.broadcast_arrays(x, y)[0])
 
     def rayleigh_strength(self, z, x=None, y=None):
-        """Top sponge (ridge variant adds lateral-x sponges, :136-155)."""
+        """Top sponge + lateral sponges, replicated exactly from the
+        reference (both variants use dRayleighDepth=5000).
+
+        Non-ridge (``Baroclinic3DCartesianTest.cpp:213-249``): the lateral
+        terms gate on ``dXp`` against the *y* extent minus width 5e7 —
+        always true — and evaluate ``dNormY`` over width 5e7, so the
+        reference applies a near-uniform ~full-strength damping toward the
+        reference state over the whole channel.  We replicate this quirk
+        verbatim for parity (pass ``rayleigh=False`` for the physically
+        intended top-sponge-only behavior).
+
+        Ridge (``Baroclinic3DCartesianRidgeTest.cpp:235-270``): proper
+        lateral-x sponges of width 2e6, maximal at the x boundaries.
+        """
         strength = 1.0e-3 if self.ridge else 5.0e-3
-        depth = 8000.0
+        depth = 5000.0
         nu = np.where(z > self.ztop - depth,
                       0.5 * strength * (1.0 + np.cos(
                           np.pi * (self.ztop - z) / depth)), 0.0)
@@ -513,6 +538,14 @@ class Baroclinic3DChannel:
             nu_l = np.where(x < x0 + width,
                             0.5 * strength * (1.0 + np.cos(
                                 np.pi * (x - x0) / width)), 0.0)
+            nu = np.maximum(nu, np.maximum(nu_r, nu_l))
+        elif not self.ridge and x is not None and y is not None:
+            width = 5.0e7
+            y0, y1 = self.y_extent
+            # reference gates on dXp but norms on dYp; both gates are
+            # always true for this domain, so the terms are always on
+            nu_r = 0.5 * strength * (1.0 + np.cos(np.pi * (y1 - y) / width))
+            nu_l = 0.5 * strength * (1.0 + np.cos(np.pi * (y - y0) / width))
             nu = np.maximum(nu, np.maximum(nu_r, nu_l))
         return nu
 

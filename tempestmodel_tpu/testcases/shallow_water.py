@@ -171,6 +171,14 @@ class ShallowWaterEddy:
     h_alpha: float = 1.0 / 3.0
     h_beta: float = 1.0 / 15.0
 
+    @staticmethod
+    def physical_constants(constants: PhysicalConstants):
+        """Coriolis disabled for this test (the reference's
+        ``EvaluatePhysicalConstants`` calls ``phys.SetOmega(0.0)``,
+        ``ShallowWaterEddyTest.cpp:107-114``); the balanced-height
+        integral and the run itself must both use omega = 0."""
+        return dataclasses.replace(constants, omega=0.0)
+
     def _u_jet(self, lat):
         lat = np.abs(lat)
         en = np.exp(-4.0 / (self.lat1 - self.lat0) ** 2)

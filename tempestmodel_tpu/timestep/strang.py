@@ -37,10 +37,12 @@ def make_strang_step(cfg: ModelConfig, geom, dss_state: Callable,
     uniform_on = ((cfg.nu_uniform_scalar != 0.0
                    or cfg.nu_uniform_vector != 0.0)
                   and ref_state is not None)
-    # no-flux lateral BC: emulate the reference's per-instance halos by
-    # threading a "shadow" state through the RK combinations (see
-    # erk_substep shadow0)
-    noflux = getattr(geom, "bc_x", "periodic") == "noflux"
+    # no-flux lateral BC (either axis: x for the xz slices, y for the
+    # baroclinic channel, Baroclinic3DCartesianTest.cpp:144-147): emulate
+    # the reference's per-instance halos by threading a "shadow" state
+    # through the RK combinations (see erk_substep shadow0)
+    noflux = (getattr(geom, "bc_x", "periodic") == "noflux"
+              or getattr(geom, "bc_y", "periodic") == "noflux")
 
     def stage(base, ueval, dt_s, shadow=None):
         tend = nonhydro.horizontal_tendency(ueval, geom, constants)

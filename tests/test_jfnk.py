@@ -40,6 +40,7 @@ def test_gmres_batched_exact_small():
     assert float(jnp.abs(x - xref).max()) < 1e-10
 
 
+@pytest.mark.slow
 def test_schur_matches_dense(bubble):
     """Schur elimination of W (reference --vmethod SCHUR,
     ``VerticalDynamicsSchur.cpp:1395-1770``): quasi-Newton with the

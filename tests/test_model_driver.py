@@ -14,6 +14,8 @@ from tempestmodel_tpu.testcases.shallow_water import Williamson2
 from tempestmodel_tpu.testcases.nonhydro_xz import ThermalBubble
 from tempestmodel_tpu.testcases.nonhydro_sphere import BaroclinicWaveUMJS
 
+pytestmark = pytest.mark.slow
+
 
 def test_sw_model_go_and_error_norms(tmp_path):
     cfg = ModelConfig(equation_set=EquationSet.SHALLOW_WATER, ne=8, order=4,

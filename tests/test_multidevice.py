@@ -1,0 +1,167 @@
+"""Multi-device correctness: sharded == single-device, bit-for-allclose.
+
+The TPU-native replacement of the reference's MPI halo-exchange layer
+(``src/atm/Connectivity.cpp:928-1100``, ``GridCSGLL.cpp:435-560``) is
+GSPMD partitioning of the DSS gathers under ``jax.sharding``.  These tests
+run every distributed code path on the 8-device virtual CPU mesh
+(conftest) and assert exact agreement with the unsharded computation:
+the DSS alone, then the full Strang-HEVI step, on both the cubed sphere
+and the Cartesian channel.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
+
+from tempestmodel_tpu.config import ModelConfig, GridKind
+from tempestmodel_tpu.models import nh_model
+from tempestmodel_tpu.parallel import dss as sphere_dss
+from tempestmodel_tpu.grid import cartesian as cart
+from tempestmodel_tpu.testcases.nonhydro_sphere import BaroclinicWaveUMJS
+from tempestmodel_tpu.testcases.nonhydro_xz import ThermalBubble
+
+pytestmark = pytest.mark.slow
+
+
+def _mesh(mx, my):
+    devs = jax.devices()
+    if len(devs) < mx * my:
+        pytest.skip(f"need {mx * my} devices, have {len(devs)}")
+    return Mesh(np.array(devs[:mx * my]).reshape(mx, my), ("x", "y"))
+
+
+def _put(tree, mesh, spec):
+    sh = NamedSharding(mesh, spec)
+    return jax.tree.map(lambda a: jax.device_put(a, sh), tree)
+
+
+def _assert_tree_close(a, b, rtol=1e-12, atol=0.0, what=""):
+    """Max-norm relative comparison per leaf: max|x-y| <= rtol * max|x|.
+
+    (Elementwise allclose is the wrong metric here — covariant U passes
+    through zero, so elementwise relative error is unbounded at sign
+    changes even when the fields agree to machine precision.)
+    """
+    fa, _ = jax.tree.flatten(a)
+    fb, _ = jax.tree.flatten(b)
+    for i, (x, y) in enumerate(zip(fa, fb)):
+        x, y = np.asarray(x), np.asarray(y)
+        scale = max(np.abs(x).max(), 1e-30)
+        rel = np.abs(x - y).max() / scale
+        assert rel <= rtol + atol / scale, \
+            f"{what} leaf {i}: max rel diff {rel:.3e} > {rtol:.1e}"
+
+
+# ---------------------------------------------------------------------------
+# DSS alone
+# ---------------------------------------------------------------------------
+
+def test_sphere_dss_sharded_matches_single():
+    from tempestmodel_tpu.grid.geometry import build_geometry
+    from tempestmodel_tpu.constants import DEFAULT_CONSTANTS
+    geom = build_geometry(ne=4, p=4, constants=DEFAULT_CONSTANTS,
+                          nz=6, ztop=1.0e4)
+    A = 4 * 4
+    rng = np.random.default_rng(0)
+    f = jnp.asarray(rng.standard_normal((6, A, A, 6)))
+    u = jnp.asarray(rng.standard_normal((6, A, A, 6)))
+    v = jnp.asarray(rng.standard_normal((6, A, A, 6)))
+
+    dss_s = jax.jit(lambda x: sphere_dss.apply_dss_scalar(x, geom))
+    dss_v = jax.jit(lambda a, b: sphere_dss.apply_dss_vector(a, b, geom))
+    ref_f = dss_s(f)
+    ref_u, ref_v = dss_v(u, v)
+
+    mesh = _mesh(2, 4)
+    spec = P(None, "x", "y")
+    with mesh:
+        out_f = dss_s(_put(f, mesh, spec))
+        out_u, out_v = dss_v(_put(u, mesh, spec), _put(v, mesh, spec))
+    _assert_tree_close(ref_f, out_f, what="scalar DSS")
+    _assert_tree_close((ref_u, ref_v), (out_u, out_v), what="vector DSS")
+    # output really is distributed
+    assert len(out_f.sharding.device_set) == 8
+
+
+def test_cartesian_dss_sharded_matches_single():
+    from tempestmodel_tpu.constants import DEFAULT_CONSTANTS
+    geom = cart.build_cartesian_geometry(
+        nex=8, ney=4, p=4, nz=4, x_extent=(0.0, 1.0e5),
+        y_extent=(0.0, 5.0e4), ztop=1.0e4, constants=DEFAULT_CONSTANTS,
+        is_xz=False)
+    rng = np.random.default_rng(1)
+    f = jnp.asarray(rng.standard_normal((1, 32, 16, 4)))
+    dss = jax.jit(lambda x: cart.apply_dss_cartesian(x, geom))
+    ref = dss(f)
+    mesh = _mesh(2, 4)
+    with mesh:
+        out = dss(_put(f, mesh, P(None, "x", "y")))
+    _assert_tree_close(ref, out, what="cartesian DSS")
+
+
+# ---------------------------------------------------------------------------
+# Full Strang-HEVI steps
+# ---------------------------------------------------------------------------
+
+def _sphere_model(ne=4, nz=6):
+    tc = BaroclinicWaveUMJS(pert="exp")
+    cfg = ModelConfig(grid_kind=GridKind.CUBED_SPHERE, ne=ne, order=4,
+                      nz=nz, ztop=tc.ztop, dt=100.0, hyperdiffusion=True,
+                      nu_scalar=1e15, nu_div=1e15, nu_vort=1e15)
+    geom = nh_model.build_nh_sphere_geometry(cfg, ztop=tc.ztop)
+    state = tc.initial_state(geom, cfg.constants)
+    first_step, step = nh_model.make_nh_step(cfg, geom)
+    return first_step, step, state
+
+
+def test_sphere_full_step_sharded_matches_single():
+    first_step, step, state = _sphere_model()
+    s1, c1 = first_step(state)
+    s1, c1 = step(s1, c1)
+    jax.block_until_ready(s1)
+
+    mesh = _mesh(2, 4)
+    spec = P(None, "x", "y")
+    with mesh:
+        s2, c2 = first_step(_put(state, mesh, spec))
+        s2, c2 = step(s2, c2)
+        jax.block_until_ready(s2)
+    _assert_tree_close(s1, s2, rtol=1e-11, atol=1e-20, what="sphere step")
+    assert len(s2["Rho"].sharding.device_set) == 8
+
+
+def test_cartesian_full_step_sharded_matches_single():
+    tc = ThermalBubble()
+    cfg = ModelConfig(grid_kind=GridKind.CARTESIAN_XZ, nex=8, ney=1,
+                      order=4, nz=8, ztop=tc.ztop, x_extent=tc.x_extent,
+                      y_extent=tc.y_extent, dt=0.1, hyperdiffusion=False)
+    geom = nh_model.build_nh_cartesian_geometry(cfg)
+    state = tc.initial_state(geom, cfg.constants)
+    first_step, step = nh_model.make_nh_step(cfg, geom)
+    s1, c1 = first_step(state)
+    s1, c1 = step(s1, c1)
+    jax.block_until_ready(s1)
+
+    # xz slice: shard the x axis only
+    mesh = _mesh(8, 1)
+    spec = P(None, "x", "y")
+    with mesh:
+        s2, c2 = first_step(_put(state, mesh, spec))
+        s2, c2 = step(s2, c2)
+        jax.block_until_ready(s2)
+    _assert_tree_close(s1, s2, rtol=1e-11, atol=1e-20, what="cartesian step")
+
+
+def test_sphere_step_2x2_submesh():
+    """Smaller mesh shape (2, 2) — shard sizes that do not divide A evenly
+    are the common GSPMD edge case."""
+    first_step, step, state = _sphere_model(ne=3, nz=4)
+    s1, c1 = first_step(state)
+    jax.block_until_ready(s1)
+    mesh = _mesh(2, 2)
+    with mesh:
+        s2, c2 = first_step(_put(state, mesh, P(None, "x", "y")))
+        jax.block_until_ready(s2)
+    _assert_tree_close(s1, s2, rtol=1e-11, atol=1e-20, what="2x2 step")

@@ -8,6 +8,8 @@ from tempestmodel_tpu.config import ModelConfig, GridKind
 from tempestmodel_tpu.models import nh_model
 from tempestmodel_tpu.testcases.nonhydro_sphere import BaroclinicWaveUMJS
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def umjs_setup():

@@ -13,6 +13,8 @@ from tempestmodel_tpu.config import ModelConfig, GridKind
 from tempestmodel_tpu.models import nh_model
 from tempestmodel_tpu.testcases.nonhydro_xz import ThermalBubble
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def bubble_setup():

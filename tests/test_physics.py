@@ -4,6 +4,9 @@ import numpy as np
 import jax.numpy as jnp
 
 from tempestmodel_tpu.physics.kessler import kessler_column_update
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def test_kessler_rain_cycle():

@@ -20,6 +20,8 @@ import pytest
 from tempestmodel_tpu.config import ModelConfig, GridKind
 from tempestmodel_tpu.models import nh_model
 
+pytestmark = pytest.mark.slow
+
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 
 

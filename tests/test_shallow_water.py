@@ -17,6 +17,8 @@ from tempestmodel_tpu.parallel import dss as dss_mod
 from tempestmodel_tpu.testcases.shallow_water import Williamson2
 from tempestmodel_tpu.io.diagnostics import error_norms, state_checksums
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tc2_setup():

@@ -14,6 +14,8 @@ from tempestmodel_tpu.config import ModelConfig, GridKind, TimestepSchemeType
 from tempestmodel_tpu.models import nh_model, nonhydro
 from tempestmodel_tpu.testcases.nonhydro_xz import ThermalBubble
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def bubble_cfgs():

@@ -17,6 +17,8 @@ from tempestmodel_tpu.testcases.nonhydro_xz import (
     Baroclinic3DChannel)
 from tempestmodel_tpu.testcases.shallow_water import ShallowWaterEddy
 
+pytestmark = pytest.mark.slow
+
 
 def test_robert_bubble_rises():
     tc = RobertBubble()
@@ -104,6 +106,35 @@ def test_baroclinic3d_channel_balance():
     assert 0.5 * tc.u_p < dup <= tc.u_p * 1.01
 
 
+def test_baroclinic3d_noflux_y_walls():
+    """The channel's y walls are no-flux: the Strang stepper must thread
+    the halo shadows (regression for the bc_x-only gating bug) and the
+    normal velocity V at the walls must stay ~0 while the interior jet
+    stays O(u0)."""
+    tc = Baroclinic3DChannel()
+    cfg = ModelConfig(grid_kind=GridKind.CARTESIAN_3D, nex=8, ney=4,
+                      order=4, nz=8, ztop=tc.ztop, x_extent=tc.x_extent,
+                      y_extent=tc.y_extent, dt=100.0, hyperdiffusion=False)
+    geom = nh_model.build_nh_cartesian_geometry(
+        cfg, bc_y=tc.bc_y, reference_latitude=tc.reference_latitude)
+    assert geom.bc_y == "noflux"
+    s = tc.initial_state(geom, cfg.constants)
+    first_step, step = nh_model.make_nh_step(cfg, geom)
+    s, carry = first_step(s)
+    # halo-shadow mechanism must be active for y-only no-flux grids
+    assert isinstance(carry, dict) and "halo" in carry
+    for _ in range(9):
+        s, carry = step(s, carry)
+    v = np.asarray(s["V"])
+    v_wall = max(np.abs(v[:, :, 0]).max(), np.abs(v[:, :, -1]).max())
+    v_int = np.abs(v[:, :, 1:-1]).max()
+    u_scale = np.abs(np.asarray(s["U"])).max()
+    assert np.isfinite(v).all()
+    # wall-normal velocity bounded far below the flow scale
+    assert v_wall < 0.05 * u_scale
+    assert v_wall < 0.5 * max(v_int, 1e-30)
+
+
 def test_baroclinic3d_ridge_topography():
     tc = Baroclinic3DChannel(ridge=True)
     x = np.linspace(*tc.x_extent, 101)
@@ -115,10 +146,15 @@ def test_baroclinic3d_ridge_topography():
 
 
 def test_shallow_water_eddy_initial_and_step():
+    import dataclasses
     from tempestmodel_tpu.models import sw_model
     tc = ShallowWaterEddy()
     cfg = ModelConfig(grid_kind=GridKind.CUBED_SPHERE, ne=6, order=4,
                       nz=1, dt=120.0, hyperdiffusion=False)
+    # the reference runs this case with omega = 0 (EvaluatePhysicalConstants)
+    cfg = dataclasses.replace(
+        cfg, constants=tc.physical_constants(cfg.constants))
+    assert cfg.constants.omega == 0.0
     geom = sw_model.build_sw_geometry(cfg)
     s = tc.initial_state(geom, cfg.constants)
     h0 = np.asarray(s["H"])
@@ -126,7 +162,8 @@ def test_shallow_water_eddy_initial_and_step():
     # symmetric double jet: balanced height is even in latitude
     # (check the unperturbed field; the integrand is odd in lat)
     tc0 = ShallowWaterEddy(h_hat=0.0)
-    hs = np.asarray(tc0.initial_state(geom, cfg.constants)["H"])
+    hs = np.asarray(tc0.initial_state(
+        geom, tc0.physical_constants(cfg.constants))["H"])
     lat = np.asarray(geom.lat)
     north = (lat > 0.6) & (lat < 0.8)
     south = (lat < -0.6) & (lat > -0.8)
