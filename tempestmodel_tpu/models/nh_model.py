@@ -40,22 +40,32 @@ def build_nh_cartesian_geometry(cfg: ModelConfig, topography=None,
         stretch=_stretch(cfg), dtype=cfg.dtype)
 
 
-def make_cartesian_dss(geom) -> Callable:
-    """DSS over the full nonhydrostatic state (flat metric: all scalars)."""
+def make_cartesian_dss(geom, mesh=None) -> Callable:
+    """DSS over the full nonhydrostatic state (flat metric: all scalars).
+
+    ``mesh``: optional jax.sharding.Mesh — use the explicit
+    shard_map + ppermute halo-exchange DSS (``parallel/dss_shardmap``)
+    instead of relying on GSPMD auto-partitioning.
+    """
+    if mesh is not None:
+        from ..parallel.dss_shardmap import make_cartesian_dss_shardmap
+        dss_fn = make_cartesian_dss_shardmap(geom, mesh)
+    else:
+        dss_fn = lambda f, halo=None: cart.apply_dss_cartesian(
+            f, geom, halo=halo)
+
     def dss_state(s, halo=None):
         out = {}
         for k, f in s.items():
             hk = halo.get(k) if halo is not None else None
             if k == "Tracers":
                 if hk is None:
-                    out[k] = jax.vmap(
-                        lambda x: cart.apply_dss_cartesian(x, geom))(f)
+                    out[k] = jax.vmap(lambda x: dss_fn(x))(f)
                 else:
                     out[k] = jax.vmap(
-                        lambda x, h: cart.apply_dss_cartesian(
-                            x, geom, halo=h))(f, hk)
+                        lambda x, h: dss_fn(x, halo=h))(f, hk)
             else:
-                out[k] = cart.apply_dss_cartesian(f, geom, halo=hk)
+                out[k] = dss_fn(f, halo=hk)
         # NOTE: no u^a=0 overwrite here — the reference's no-flux velocity
         # fix (ApplyBoundaryConditions) writes halo nodes its DSS never
         # reads (GridPatchCartesianGLL.cpp:1180: pairs (0,1) while the
@@ -75,52 +85,67 @@ def build_nh_sphere_geometry(cfg: ModelConfig, topography=None,
         rayleigh=rayleigh, stretch=_stretch(cfg), dtype=cfg.dtype)
 
 
-def make_sphere_dss(geom) -> Callable:
+def make_sphere_dss(geom, mesh=None) -> Callable:
     """DSS over the nonhydrostatic state on the cubed sphere.
 
     U/V transform as a covariant vector pair across panel edges
     (``TransformHaloVelocities``); Rt/W/Rho/tracers are scalars.
+
+    ``mesh``: optional jax.sharding.Mesh — use the explicit
+    shard_map + ppermute/psum edge-exchange DSS
+    (``parallel/dss_shardmap``) instead of GSPMD auto-partitioning.
     """
+    if mesh is not None:
+        from ..parallel.dss_shardmap import make_sphere_dss_shardmap
+        dss_s, dss_v = make_sphere_dss_shardmap(geom, mesh)
+    else:
+        dss_s = lambda f: sphere_dss.apply_dss_scalar(f, geom)
+        dss_v = lambda u, v: sphere_dss.apply_dss_vector(u, v, geom)
+
     def dss_state(s):
         out = dict(s)
-        u, v = sphere_dss.apply_dss_vector(s["U"], s["V"], geom)
+        u, v = dss_v(s["U"], s["V"])
         out["U"], out["V"] = u, v
         for k in ("Rt", "W", "Rho"):
-            out[k] = sphere_dss.apply_dss_scalar(s[k], geom)
+            out[k] = dss_s(s[k])
         if "Tracers" in s:
-            out["Tracers"] = jax.vmap(
-                lambda x: sphere_dss.apply_dss_scalar(x, geom))(s["Tracers"])
+            out["Tracers"] = jax.vmap(dss_s)(s["Tracers"])
         return out
     return dss_state
 
 
-def make_nh_step(cfg: ModelConfig, geom, ref_state=None):
-    """(first_step, step) jitted Strang-HEVI steppers for this config."""
+def make_nh_step(cfg: ModelConfig, geom, ref_state=None, mesh=None):
+    """(first_step, step) jitted Strang-HEVI steppers for this config.
+
+    ``mesh``: optional device mesh — route DSS through the explicit
+    shard_map halo-exchange layer (O(surface) communication) instead of
+    GSPMD auto-partitioning.
+    """
     if cfg.grid_kind == GridKind.CUBED_SPHERE:
-        dss_state = make_sphere_dss(geom)
+        dss_state = make_sphere_dss(geom, mesh=mesh)
     else:
-        dss_state = make_cartesian_dss(geom)
+        dss_state = make_cartesian_dss(geom, mesh=mesh)
     from ..config import TimestepSchemeType
     if cfg.timescheme == TimestepSchemeType.SPEX:
         from .split_explicit import make_spex_step
         return make_spex_step(cfg, geom, dss_state, ref_state)
-    return make_strang_step(cfg, geom, dss_state, ref_state)
+    return make_strang_step(cfg, geom, dss_state, ref_state, mesh=mesh)
 
 
-def make_nh_imex_step(cfg: ModelConfig, geom, ref_state=None):
+def make_nh_imex_step(cfg: ModelConfig, geom, ref_state=None, mesh=None):
     """Jitted IMEX-ARK stepper (self-starting): state -> state."""
     from ..timestep.imex import make_imex_step
     if cfg.grid_kind == GridKind.CUBED_SPHERE:
-        dss_state = make_sphere_dss(geom)
+        dss_state = make_sphere_dss(geom, mesh=mesh)
     else:
-        dss_state = make_cartesian_dss(geom)
+        dss_state = make_cartesian_dss(geom, mesh=mesh)
     return make_imex_step(cfg, geom, dss_state, ref_state)
 
 
 def make_nh_multistep(cfg: ModelConfig, geom, inner_steps: int,
-                      ref_state=None):
+                      ref_state=None, mesh=None):
     """K Strang steps fused under one jit with lax.scan (benchmark path)."""
-    first_step, step = make_nh_step(cfg, geom, ref_state)
+    first_step, step = make_nh_step(cfg, geom, ref_state, mesh=mesh)
 
     @jax.jit
     def multi(state, carry):

@@ -103,9 +103,12 @@ def banded_solve_t(bands, rhs, q: int):
     dtype = bands.dtype
 
     # carry: last q U-rows, each (q+1, ncol), plus last q y values (ncol,)
-    u_init = jnp.zeros((q, q + 1, ncol), dtype)
+    # (init derived from the data so its sharding varyingness matches the
+    # scan output under shard_map — a constant init trips the vma check)
+    zvar = bands[0, 0] * 0.0                          # (ncol,) varying zero
+    u_init = zvar + jnp.zeros((q, q + 1, 1), dtype)
     u_init = u_init.at[:, 0].set(1.0)                 # dummy identity rows
-    y_init = jnp.zeros((q, ncol), dtype)
+    y_init = zvar + jnp.zeros((q, 1), dtype)
 
     def fwd(carry, row):
         u_prev, y_prev = carry
@@ -123,7 +126,7 @@ def banded_solve_t(bands, rhs, q: int):
     (_, _), (U, Y) = jax.lax.scan(fwd, (u_init, y_init), (bands, rhs))
     # U: (n, q+1, ncol), Y: (n, ncol)
 
-    x_init = jnp.zeros((q, ncol), dtype)
+    x_init = zvar + jnp.zeros((q, 1), dtype)
 
     def bwd(x_next, row):
         u_i, y_i = row

@@ -1,0 +1,387 @@
+"""Explicit shard_map + collective DSS: the owned distribution layer.
+
+The GSPMD-partitioned DSS (``parallel/dss.py``) is correct but measured
+wasteful: the auto-partitioner replicates whole fields (per
+``parallel/analyze.py``, a full Strang step at ne8 L10 on a (2,4) mesh
+moves 4.8x the state size in collectives, dominated by volume-sized
+all-gathers).  The reference exchanges only O(surface) halo slabs
+(``src/atm/Connectivity.cpp:928-1100``); this module is the TPU-native
+equivalent with explicitly chosen collectives:
+
+- **interior element-boundary pair sums** that straddle shard boundaries
+  are one width-1 line ``ppermute`` per direction per axis (the exact
+  analog of the reference's face halo exchange over ICI);
+- **panel-edge exchange** packs the 24 (panel, edge) lines into one
+  (24, A) surface tensor and replicates it with a single ``psum`` over
+  the mesh — O(24*A*nz) bytes instead of O(6*A^2*nz); flips and the
+  inter-panel covariant vector rotations (``TransformHaloVelocities``,
+  ``GridPatchCSGLL.cpp:1783``) are applied locally on the replicated
+  tensor, so no reversal ever crosses a shard.
+
+The arithmetic (slicing order, add order over ``edge_meta``) matches
+``parallel/dss.py`` exactly, so sharded and single-device results agree
+to the last bit up to XLA fusion differences (tested at 1e-13 in
+``tests/test_multidevice.py``).
+
+Requires shard boundaries on element boundaries: mesh x-size | ne and
+mesh y-size | ne.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..grid.geometry import (CubedSphereGeometry, EDGE_LEFT, EDGE_RIGHT,
+                             EDGE_BOTTOM, EDGE_TOP)
+
+
+def _shard_map(fn, mesh, in_specs, out_specs):
+    return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs)
+
+
+# ---------------------------------------------------------------------------
+# local building blocks (all run inside shard_map, on a (np, a, b, ...) block)
+# ---------------------------------------------------------------------------
+
+def _pair_sum_local(f, p: int):
+    """Element-boundary pair sums fully interior to the local block."""
+    a, b = f.shape[1], f.shape[2]
+    if a > p:
+        hi = f[:, p - 1:-1:p]
+        lo = f[:, p::p]
+        s = hi + lo
+        f = f.at[:, p - 1:-1:p].set(s)
+        f = f.at[:, p::p].set(s)
+    if b > p:
+        hi = f[:, :, p - 1:-1:p]
+        lo = f[:, :, p::p]
+        s = hi + lo
+        f = f.at[:, :, p - 1:-1:p].set(s)
+        f = f.at[:, :, p::p].set(s)
+    return f
+
+
+def _ring_perm(n: int, shift: int, wrap: bool):
+    """ppermute pairs (src, dst) for dst = src - shift along a ring."""
+    pairs = []
+    for src in range(n):
+        dst = src - shift
+        if wrap:
+            dst %= n
+        elif not (0 <= dst < n):
+            continue
+        pairs.append((src, dst))
+    return pairs
+
+
+def _cross_shard_pairs_axis(f, axis_name: str, n_shards: int, axis: int,
+                            wrap: bool):
+    """Sum the element-boundary pair that straddles shard boundaries.
+
+    Device i's last line along ``axis`` coincides with device i+1's first
+    line; both ends must hold the sum.  Missing ppermute links deliver
+    zeros, so non-wrapping boundaries (panel edges) are no-ops without
+    masking.
+    """
+    if n_shards == 1:
+        if wrap:
+            # single shard: global wrap is local
+            sl = [slice(None)] * f.ndim
+            first = tuple(sl[:axis]) + (0,)
+            last = tuple(sl[:axis]) + (-1,)
+            s = f[first] + f[last]
+            f = f.at[first].set(s).at[last].set(s)
+        return f
+    sl = [slice(None)] * f.ndim
+
+    def take(idx):
+        s = list(sl)
+        s[axis] = idx
+        return tuple(s)
+
+    first = f[take(0)]
+    last = f[take(-1)]
+    # receive right neighbor's first line (src i+1 -> dst i)
+    recv_r = lax.ppermute(first, axis_name,
+                          _ring_perm(n_shards, 1, wrap))
+    # receive left neighbor's last line (src i-1 -> dst i)
+    recv_l = lax.ppermute(last, axis_name,
+                          _ring_perm(n_shards, -1, wrap))
+    # identical add order on both sides: (lower-index line + higher-index
+    # line) so the two copies of the sum agree bitwise
+    f = f.at[take(-1)].set(last + recv_r)
+    f = f.at[take(0)].set(recv_l + first)
+    return f
+
+
+def _extend_shape(x, ref_ndim, lead):
+    """Reshape (L,) metadata to broadcast over trailing field dims."""
+    return x.reshape(x.shape + (1,) * (ref_ndim - lead))
+
+
+# ---------------------------------------------------------------------------
+# cubed-sphere DSS
+# ---------------------------------------------------------------------------
+
+def _edge_segment(s, edge: int):
+    """Local segment of a panel edge line for one panel index: returns a
+    (lenloc, ...) slice of the local block."""
+    if edge == EDGE_LEFT:
+        return s[:, 0, :]          # (np, b, ...) caller indexes panel
+    raise AssertionError
+
+
+def _pack_edges(s, mx, my, a, b, A):
+    """(24, A, ...) global edge-line tensor via one psum over the mesh.
+
+    Edge k = 4 * panel + edge, built from the pair-summed local block
+    ``s`` of shape (6, a, b, ...).
+    """
+    x_idx = lax.axis_index("x")
+    y_idx = lax.axis_index("y")
+    trailing = s.shape[3:]
+    dtype = s.dtype
+
+    def one_edge(pa, e):
+        line = jnp.zeros((A,) + trailing, dtype)
+        if e == EDGE_LEFT:
+            seg, own, off = s[pa, 0, :], x_idx == 0, y_idx * b
+        elif e == EDGE_RIGHT:
+            seg, own, off = s[pa, -1, :], x_idx == mx - 1, y_idx * b
+        elif e == EDGE_BOTTOM:
+            seg, own, off = s[pa, :, 0], y_idx == 0, x_idx * a
+        else:
+            seg, own, off = s[pa, :, -1], y_idx == my - 1, x_idx * a
+        seg = jnp.where(_extend_shape(jnp.asarray(own), seg.ndim, 0),
+                        seg, jnp.zeros_like(seg))
+        zero = jnp.zeros((), jnp.int32)
+        start = (off.astype(jnp.int32),) + (zero,) * len(trailing)
+        return lax.dynamic_update_slice(line, seg, start)
+
+    edges = jnp.stack([one_edge(pa, e)
+                       for pa in range(6) for e in range(4)])
+    return lax.psum(edges, ("x", "y"))
+
+
+def _add_edge_local(out, pa, e, line, mx, my, a, b):
+    """Add the local segment of a global edge line to the block boundary."""
+    x_idx = lax.axis_index("x")
+    y_idx = lax.axis_index("y")
+    trailing = out.shape[3:]
+    if e in (EDGE_LEFT, EDGE_RIGHT):
+        own = (x_idx == 0) if e == EDGE_LEFT else (x_idx == mx - 1)
+        off = y_idx * b
+        zero = jnp.zeros((), jnp.int32)
+        seg = lax.dynamic_slice(
+            line, (off.astype(jnp.int32),) + (zero,) * len(trailing),
+            (b,) + trailing)
+        seg = jnp.where(_extend_shape(jnp.asarray(own), seg.ndim, 0),
+                        seg, jnp.zeros_like(seg))
+        col = 0 if e == EDGE_LEFT else -1
+        return out.at[pa, col, :].add(seg)
+    own = (y_idx == 0) if e == EDGE_BOTTOM else (y_idx == my - 1)
+    off = x_idx * a
+    zero = jnp.zeros((), jnp.int32)
+    seg = lax.dynamic_slice(
+        line, (off.astype(jnp.int32),) + (zero,) * len(trailing),
+        (a,) + trailing)
+    seg = jnp.where(_extend_shape(jnp.asarray(own), seg.ndim, 0),
+                    seg, jnp.zeros_like(seg))
+    row = 0 if e == EDGE_BOTTOM else -1
+    return out.at[pa, :, row].add(seg)
+
+
+def make_sphere_dss_shardmap(geom: CubedSphereGeometry, mesh: Mesh):
+    """(dss_scalar, dss_vector) with explicit collectives over ``mesh``.
+
+    Drop-in replacements for ``parallel.dss.apply_dss_scalar/vector``
+    (same math, explicit ppermute/psum communication).
+    """
+    ne, p = geom.ne, geom.p
+    A = ne * p
+    mx, my = mesh.shape["x"], mesh.shape["y"]
+    if A % mx or A % my or (A // mx) % p or (A // my) % p:
+        raise ValueError(
+            f"shard_map DSS needs mesh sizes dividing ne: A={A}, p={p}, "
+            f"mesh=({mx},{my})")
+    a, b = A // mx, A // my
+    spec = P(None, "x", "y")
+
+    inv_mult = geom.inv_mult
+    edge_mats = geom.edge_mats
+    edge_meta = geom.edge_meta
+    edge_index = {(pa, e): 4 * pa + e for pa in range(6) for e in range(4)}
+
+    def body_scalar(f, w):
+        s = _pair_sum_local(f, p)
+        s = _cross_shard_pairs_axis(s, "x", mx, 1, wrap=False)
+        s = _cross_shard_pairs_axis(s, "y", my, 2, wrap=False)
+        edges = _pack_edges(s, mx, my, a, b, A)
+        out = s
+        for (pa, e, qa, qe, flip) in edge_meta:
+            line = edges[edge_index[(qa, qe)]]
+            if flip:
+                line = line[::-1]
+            out = _add_edge_local(out, pa, e, line, mx, my, a, b)
+        return out * _extend_shape(w, out.ndim, 3)
+
+    def body_vector(fu, fv, w, mats):
+        su = _pair_sum_local(fu, p)
+        su = _cross_shard_pairs_axis(su, "x", mx, 1, wrap=False)
+        su = _cross_shard_pairs_axis(su, "y", my, 2, wrap=False)
+        sv = _pair_sum_local(fv, p)
+        sv = _cross_shard_pairs_axis(sv, "x", mx, 1, wrap=False)
+        sv = _cross_shard_pairs_axis(sv, "y", my, 2, wrap=False)
+        eu = _pack_edges(su, mx, my, a, b, A)
+        ev = _pack_edges(sv, mx, my, a, b, A)
+        for (pa, e, qa, qe, flip) in edge_meta:
+            lu = eu[edge_index[(qa, qe)]]
+            lv = ev[edge_index[(qa, qe)]]
+            if flip:
+                lu, lv = lu[::-1], lv[::-1]
+            M = mats[pa, e]                     # (A, 2, 2) replicated
+            m = lambda i, j: _extend_shape(M[:, i, j], lu.ndim, 1)
+            tu = m(0, 0) * lu + m(0, 1) * lv
+            tv = m(1, 0) * lu + m(1, 1) * lv
+            su = _add_edge_local(su, pa, e, tu, mx, my, a, b)
+            sv = _add_edge_local(sv, pa, e, tv, mx, my, a, b)
+        wb = _extend_shape(w, su.ndim, 3)
+        return su * wb, sv * wb
+
+    def dss_scalar(f):
+        fn = _shard_map(body_scalar, mesh,
+                        in_specs=(spec, spec), out_specs=spec)
+        return fn(f, inv_mult)
+
+    def dss_vector(fu, fv):
+        fn = _shard_map(body_vector, mesh,
+                        in_specs=(spec, spec, spec, P()),
+                        out_specs=(spec, spec))
+        return fn(fu, fv, inv_mult, edge_mats)
+
+    return dss_scalar, dss_vector
+
+
+# ---------------------------------------------------------------------------
+# Cartesian DSS
+# ---------------------------------------------------------------------------
+
+def make_cartesian_dss_shardmap(geom, mesh: Mesh):
+    """Explicit-collective DSS for the Cartesian grid (periodic wrap as a
+    ring ppermute; no-flux halo averaging stays local to the wall shards).
+
+    Returns ``dss(f, halo=None)`` matching
+    ``grid.cartesian.apply_dss_cartesian``.
+    """
+    p = geom.p
+    A, B = geom.nex * p, geom.ney * p
+    mx, my = mesh.shape["x"], mesh.shape["y"]
+    if A % mx or B % my or (A // mx) % p or (B // my) % p:
+        raise ValueError(
+            f"shard_map DSS needs mesh sizes dividing nex/ney: "
+            f"A={A}, B={B}, p={p}, mesh=({mx},{my})")
+    spec = P(None, "x", "y")
+    wrap_x = geom.bc_x == "periodic"
+    wrap_y = geom.bc_y == "periodic"
+    inv_mult = geom.inv_mult
+
+    def body(f, w, halo):
+        s = _pair_sum_local(f, p)
+        s = _cross_shard_pairs_axis(s, "x", mx, 1, wrap=wrap_x)
+        s = _cross_shard_pairs_axis(s, "y", my, 2, wrap=wrap_y)
+        s = s * _extend_shape(w, s.ndim, 3)
+        if halo is not None:
+            x_idx = lax.axis_index("x")
+            y_idx = lax.axis_index("y")
+            if geom.bc_x == "noflux":
+                own0 = _extend_shape(jnp.asarray(x_idx == 0), s.ndim - 1, 0)
+                own1 = _extend_shape(jnp.asarray(x_idx == mx - 1),
+                                     s.ndim - 1, 0)
+                s = s.at[:, 0].set(jnp.where(
+                    own0, 0.5 * (s[:, 0] + halo[:, 0]), s[:, 0]))
+                s = s.at[:, -1].set(jnp.where(
+                    own1, 0.5 * (s[:, -1] + halo[:, -1]), s[:, -1]))
+            if geom.bc_y == "noflux":
+                own0 = _extend_shape(jnp.asarray(y_idx == 0), s.ndim - 1, 0)
+                own1 = _extend_shape(jnp.asarray(y_idx == my - 1),
+                                     s.ndim - 1, 0)
+                s = s.at[:, :, 0].set(jnp.where(
+                    own0, 0.5 * (s[:, :, 0] + halo[:, :, 0]), s[:, :, 0]))
+                s = s.at[:, :, -1].set(jnp.where(
+                    own1, 0.5 * (s[:, :, -1] + halo[:, :, -1]),
+                    s[:, :, -1]))
+        return s
+
+    def dss(f, halo=None):
+        if halo is None:
+            fn = _shard_map(lambda x, w: body(x, w, None), mesh,
+                            in_specs=(spec, spec), out_specs=spec)
+            return fn(f, inv_mult)
+        fn = _shard_map(body, mesh, in_specs=(spec, spec, spec),
+                        out_specs=spec)
+        return fn(f, inv_mult, halo)
+
+    return dss
+
+
+# ---------------------------------------------------------------------------
+# column-local shard_map wrappers (vertical implicit solve)
+# ---------------------------------------------------------------------------
+
+def state_specs(state):
+    """Spec pytree for a model state dict: fields are (P, A, B, ...) with
+    A over mesh-x and B over mesh-y; Tracers carry a leading species axis."""
+    return {k: (P(None, None, "x", "y") if k == "Tracers"
+                else P(None, "x", "y"))
+            for k in state}
+
+
+def geom_specs(geom):
+    """Spec pytree for a geometry pytree: horizontal (P, A, B, ...) metric
+    fields are sharded like the state; column operators / edge tables /
+    1-D axes are replicated (they are O(nz^2) or O(A) small)."""
+    npanels = 6 if isinstance(geom, CubedSphereGeometry) else 1
+    A = geom.nea * geom.p
+    B = geom.neb * geom.p
+
+    def spec_for(leaf):
+        try:
+            shape = leaf.shape
+        except AttributeError:
+            return P()
+        if (len(shape) >= 3 and shape[0] == npanels
+                and shape[1] == A and shape[2] == B):
+            return P(None, "x", "y")
+        return P()
+
+    return jax.tree.map(spec_for, geom)
+
+
+def wrap_columnwise(fn, mesh, geom):
+    """shard_map a column-local ``fn(state, geom) -> state`` over ``mesh``.
+
+    The vertical implicit Newton solve never couples columns (reference
+    ``VerticalDynamicsFEM::StepImplicit`` loops independent columns,
+    ``VerticalDynamicsFEM.cpp:1264-1345``), but its column flattening
+    ``(P, A, B, nz) -> (ncol, n)`` merges sharded axes, which GSPMD can
+    only partition by materializing volume all-gathers (measured in
+    ``analyze.py``).  Under shard_map the flatten is block-local and the
+    solve emits ZERO collectives.
+    """
+    gspec = geom_specs(geom)
+
+    def wrapped(state):
+        sspec = state_specs(state)
+        body = _shard_map(fn, mesh, in_specs=(sspec, gspec),
+                          out_specs=sspec)
+        return body(state, geom)
+
+    return wrapped

@@ -23,12 +23,15 @@ from .explicit import erk_substep, tree_axpy
 
 
 def make_strang_step(cfg: ModelConfig, geom, dss_state: Callable,
-                     ref_state=None):
+                     ref_state=None, mesh=None):
     """Returns (first_step, step) jitted functions.
 
     first_step(state) -> (state, carry);  step(state, carry) -> (state, carry)
     ``ref_state``: reference state for Rayleigh damping (APPLY_RAYLEIGH_WITH_
     HYPERVIS) and uniform diffusion.
+    ``mesh``: optional device mesh — run the column-local vertical implicit
+    solve under shard_map (zero collectives) instead of GSPMD partitioning
+    of the column flatten.
     """
     constants = cfg.constants
     dt = cfg.dt
@@ -65,9 +68,15 @@ def make_strang_step(cfg: ModelConfig, geom, dss_state: Callable,
         q = 0
 
     def implicit(s, dti):
-        out = nonhydro.vertical_implicit(
-            s, geom, constants, dti, newton_iters=cfg.newton_iterations,
-            solver=cfg.vertical_solver, q=q)
+        def core(st, gm):
+            return nonhydro.vertical_implicit(
+                st, gm, constants, dti, newton_iters=cfg.newton_iterations,
+                solver=cfg.vertical_solver, q=q)
+        if mesh is not None:
+            from ..parallel.dss_shardmap import wrap_columnwise
+            out = wrap_columnwise(core, mesh, geom)(s)
+        else:
+            out = core(s, geom)
         if "Tracers" in out:
             out = dict(out, Tracers=nonhydro.filter_negative_tracers_column(
                 out["Tracers"], geom))

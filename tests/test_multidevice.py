@@ -165,3 +165,155 @@ def test_sphere_step_2x2_submesh():
         s2, c2 = first_step(_put(state, mesh, P(None, "x", "y")))
         jax.block_until_ready(s2)
     _assert_tree_close(s1, s2, rtol=1e-11, atol=1e-20, what="2x2 step")
+
+
+# ---------------------------------------------------------------------------
+# Explicit shard_map + ppermute/psum DSS (parallel/dss_shardmap.py)
+# ---------------------------------------------------------------------------
+
+def test_shardmap_sphere_dss_matches_gspmd():
+    from tempestmodel_tpu.grid.geometry import build_geometry
+    from tempestmodel_tpu.constants import DEFAULT_CONSTANTS
+    from tempestmodel_tpu.parallel.dss_shardmap import (
+        make_sphere_dss_shardmap)
+    ne, p, nz = 4, 4, 6
+    geom = build_geometry(ne=ne, p=p, constants=DEFAULT_CONSTANTS,
+                          nz=nz, ztop=1.0e4)
+    A = ne * p
+    rng = np.random.default_rng(7)
+    f = jnp.asarray(rng.standard_normal((6, A, A, nz)))
+    u = jnp.asarray(rng.standard_normal((6, A, A, nz)))
+    v = jnp.asarray(rng.standard_normal((6, A, A, nz)))
+
+    ref_f = sphere_dss.apply_dss_scalar(f, geom)
+    ref_u, ref_v = sphere_dss.apply_dss_vector(u, v, geom)
+
+    for mx, my in ((2, 4), (4, 2), (2, 2), (1, 4)):
+        mesh = _mesh(mx, my)
+        dss_s, dss_v = make_sphere_dss_shardmap(geom, mesh)
+        spec = P(None, "x", "y")
+        with mesh:
+            out_f = jax.jit(dss_s)(_put(f, mesh, spec))
+            out_u, out_v = jax.jit(dss_v)(_put(u, mesh, spec),
+                                          _put(v, mesh, spec))
+        _assert_tree_close(ref_f, out_f, rtol=1e-13,
+                           what=f"shardmap scalar ({mx},{my})")
+        _assert_tree_close((ref_u, ref_v), (out_u, out_v), rtol=1e-13,
+                           what=f"shardmap vector ({mx},{my})")
+
+
+def test_shardmap_sphere_dss_2d_and_interface_fields():
+    """Rank-3 (surface) and nz+1 (interface) fields go through the same
+    shard_map code path."""
+    from tempestmodel_tpu.grid.geometry import build_geometry
+    from tempestmodel_tpu.constants import DEFAULT_CONSTANTS
+    from tempestmodel_tpu.parallel.dss_shardmap import (
+        make_sphere_dss_shardmap)
+    ne, p, nz = 4, 4, 5
+    geom = build_geometry(ne=ne, p=p, constants=DEFAULT_CONSTANTS,
+                          nz=nz, ztop=1.0e4)
+    A = ne * p
+    rng = np.random.default_rng(8)
+    mesh = _mesh(2, 4)
+    dss_s, _ = make_sphere_dss_shardmap(geom, mesh)
+    spec = P(None, "x", "y")
+    for shape in ((6, A, A), (6, A, A, nz + 1)):
+        f = jnp.asarray(rng.standard_normal(shape))
+        ref = sphere_dss.apply_dss_scalar(f, geom)
+        with mesh:
+            out = jax.jit(dss_s)(_put(f, mesh, spec))
+        _assert_tree_close(ref, out, rtol=1e-13, what=f"shape {shape}")
+
+
+def test_shardmap_cartesian_dss_matches_gspmd():
+    from tempestmodel_tpu.constants import DEFAULT_CONSTANTS
+    from tempestmodel_tpu.parallel.dss_shardmap import (
+        make_cartesian_dss_shardmap)
+    for bc_x, bc_y in (("periodic", "periodic"), ("noflux", "periodic"),
+                       ("periodic", "noflux")):
+        geom = cart.build_cartesian_geometry(
+            nex=8, ney=4, p=4, nz=4, x_extent=(0.0, 1.0e5),
+            y_extent=(0.0, 5.0e4), ztop=1.0e4, constants=DEFAULT_CONSTANTS,
+            is_xz=False, bc_x=bc_x, bc_y=bc_y)
+        rng = np.random.default_rng(9)
+        f = jnp.asarray(rng.standard_normal((1, 32, 16, 4)))
+        halo = jnp.asarray(rng.standard_normal((1, 32, 16, 4)))
+        ref = cart.apply_dss_cartesian(f, geom)
+        ref_h = cart.apply_dss_cartesian(f, geom, halo=halo)
+        mesh = _mesh(2, 4)
+        dss = make_cartesian_dss_shardmap(geom, mesh)
+        spec = P(None, "x", "y")
+        with mesh:
+            out = jax.jit(dss)(_put(f, mesh, spec))
+            out_h = jax.jit(lambda x, h: dss(x, halo=h))(
+                _put(f, mesh, spec), _put(halo, mesh, spec))
+        _assert_tree_close(ref, out, rtol=1e-13,
+                           what=f"cart shardmap {bc_x}/{bc_y}")
+        _assert_tree_close(ref_h, out_h, rtol=1e-13,
+                           what=f"cart shardmap halo {bc_x}/{bc_y}")
+
+
+def test_shardmap_dss_idempotent():
+    """DSS is a projection: applying it twice equals once."""
+    from tempestmodel_tpu.grid.geometry import build_geometry
+    from tempestmodel_tpu.constants import DEFAULT_CONSTANTS
+    from tempestmodel_tpu.parallel.dss_shardmap import (
+        make_sphere_dss_shardmap)
+    geom = build_geometry(ne=4, p=4, constants=DEFAULT_CONSTANTS,
+                          nz=4, ztop=1.0e4)
+    rng = np.random.default_rng(10)
+    f = jnp.asarray(rng.standard_normal((6, 16, 16, 4)))
+    mesh = _mesh(2, 4)
+    dss_s, _ = make_sphere_dss_shardmap(geom, mesh)
+    with mesh:
+        once = jax.jit(dss_s)(_put(f, mesh, P(None, "x", "y")))
+        twice = jax.jit(dss_s)(once)
+    _assert_tree_close(once, twice, rtol=1e-13, what="idempotence")
+
+
+def test_full_step_shardmap_path_matches_single():
+    """Full Strang step with mesh= (shard_map DSS + shard_map column
+    implicit solve) equals the single-device trajectory."""
+    first_step, step, state = _sphere_model()
+    s1, c1 = first_step(state)
+    s1, c1 = step(s1, c1)
+    jax.block_until_ready(s1)
+
+    tc = BaroclinicWaveUMJS(pert="exp")
+    cfg = ModelConfig(grid_kind=GridKind.CUBED_SPHERE, ne=4, order=4,
+                      nz=6, ztop=tc.ztop, dt=100.0, hyperdiffusion=True,
+                      nu_scalar=1e15, nu_div=1e15, nu_vort=1e15)
+    geom = nh_model.build_nh_sphere_geometry(cfg, ztop=tc.ztop)
+    mesh = _mesh(2, 4)
+    first_sm, step_sm = nh_model.make_nh_step(cfg, geom, mesh=mesh)
+    spec = P(None, "x", "y")
+    with mesh:
+        s2, c2 = first_sm(_put(state, mesh, spec))
+        s2, c2 = step_sm(s2, c2)
+        jax.block_until_ready(s2)
+    _assert_tree_close(s1, s2, rtol=1e-11, what="shard_map step")
+    assert len(s2["Rho"].sharding.device_set) == 8
+
+
+def test_step_collective_volume_is_surface_sized():
+    """The explicit path must emit no volume-sized all-gathers: total
+    collective bytes bounded well below the state volume (the measured
+    GSPMD auto-partitioning baseline is ~4.8x the input)."""
+    from tempestmodel_tpu.parallel.analyze import collective_report
+    tc = BaroclinicWaveUMJS(pert="exp")
+    cfg = ModelConfig(grid_kind=GridKind.CUBED_SPHERE, ne=8, order=4,
+                      nz=10, ztop=tc.ztop, dt=100.0, hyperdiffusion=True,
+                      nu_scalar=1e15, nu_div=1e15, nu_vort=1e15)
+    geom = nh_model.build_nh_sphere_geometry(cfg, ztop=tc.ztop)
+    state = tc.initial_state(geom, cfg.constants)
+    mesh = _mesh(2, 4)
+    first_step, step = nh_model.make_nh_step(cfg, geom, mesh=mesh)
+    spec = P(None, "x", "y")
+    with mesh:
+        s, c = first_step(_put(state, mesh, spec))
+        jax.block_until_ready(s["Rho"])
+    rep = collective_report(step, (s, c), mesh, spec)
+    assert "all-gather" not in rep.counts, rep.counts
+    total = sum(rep.bytes_.values())
+    assert total < 0.8 * rep.input_bytes, \
+        f"collective bytes {total} vs input {rep.input_bytes}"
