@@ -1,14 +1,39 @@
 """Headline benchmark: grid-point-steps/sec/chip on the flagship config.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
 
 Flagship: nonhydrostatic UMJS baroclinic wave, cubed sphere ne30 p4 L30
 (the BASELINE.json headline config), float32, Strang-HEVI with nu4
 hyperdiffusion and the batched banded vertical implicit solve.
 
-The reference publishes no numbers (BASELINE.md), so vs_baseline is the
-ratio against the first recorded run of this bench on this metric
-(bench_baseline.json); >1.0 = faster than the round-1 recording.
+The timed region is a ``lax.scan`` over TM_BENCH_STEPS full Strang steps
+compiled as one program (``models/nh_model.make_nh_multistep``), so no
+per-step Python dispatch is measured.
+
+Falsifiability (VERDICT round-1 item 2): alongside the throughput the
+bench reports XLA cost-analysis FLOP and bytes-accessed totals for the
+step, the achieved FLOP/s and bytes/s, and the fraction of the chip's
+roofline this represents:
+
+- ``hbm_frac_ub`` uses XLA's "bytes accessed" (an UPPER bound on real
+  HBM traffic: it counts every HLO operand access, including values
+  that stay resident in VMEM across a fusion), so it can exceed 1.0.
+- ``hbm_frac_lb`` uses the live state footprint x a minimal number of
+  passes (read+write of the full prognostic state once per RK stage,
+  hyperdiffusion pass, and implicit solve) — a LOWER bound on traffic.
+- ``sol_ms_per_step`` = max(flops/peak_flops, bytes_lb/peak_bw): the
+  speed-of-light step time implied by those bounds.
+
+vs_baseline is the ratio against the first recorded run of this bench
+on this metric (bench_baseline.json, recorded round 1 = 66.8M
+gridpoint-steps/s); >1.0 = faster than the round-1 recording (the
+reference publishes no numbers of its own, see BASELINE.md).
+
+Per-phase breakdown (reference FunctionTimer taxonomy,
+``src/atm/Model.cpp:520-689``) is included as "phases_ms" unless
+TM_BENCH_PHASES=0: each phase is compiled standalone and timed, which
+over-counts fusion boundaries relative to the fused full step — use it
+for ranking phases, not for absolute accounting.
 """
 
 import json
@@ -17,49 +42,144 @@ import time
 
 METRIC = "gridpoint-steps/sec/chip (nonhydro sphere ne30 p4 L30 f32)"
 
+# Per-chip peaks by device kind: (peak_flops [f32-accumulate matmul,
+# bf16 inputs], peak HBM bytes/s).  Sources: public TPU spec sheets.
+PEAKS = {
+    "TPU v5 lite": (197e12, 819e9),     # v5e
+    "TPU v5e": (197e12, 819e9),
+    "TPU v5": (459e12, 2765e9),         # v5p
+    "TPU v4": (275e12, 1228e9),
+    "TPU v6 lite": (918e12, 1640e9),    # v6e / Trillium
+    "cpu": (1e12, 100e9),               # nominal, for smoke runs
+}
+
+
+def _cost(compiled):
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    if ca is None:
+        return 0.0, 0.0
+    return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+
+
+def _timeit(f, *args, reps=10, outer=3):
+    import jax
+    out = f(*args)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(outer):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = f(*args)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best
+
 
 def main():
     import jax
     import jax.numpy as jnp
     from tempestmodel_tpu.config import ModelConfig, GridKind
-    from tempestmodel_tpu.models import nh_model
+    from tempestmodel_tpu.models import nh_model, nonhydro, hyperdiff
     from tempestmodel_tpu.testcases.nonhydro_sphere import BaroclinicWaveUMJS
 
     ne, nz = 30, 30
     inner = int(os.environ.get("TM_BENCH_STEPS", "10"))
+    want_phases = os.environ.get("TM_BENCH_PHASES", "1") != "0"
 
     tc = BaroclinicWaveUMJS(pert="exp")
-    solver = "pallas" if jax.default_backend() != "cpu" else "banded"
+    on_tpu = jax.default_backend() != "cpu"
+    solver = "pallas" if on_tpu else "banded"
     cfg = ModelConfig(grid_kind=GridKind.CUBED_SPHERE, ne=ne, order=4,
                       nz=nz, ztop=tc.ztop, dt=200.0, hyperdiffusion=True,
                       nu_scalar=1e15, nu_div=1e15, nu_vort=1e15,
                       vertical_solver=solver, dtype=jnp.float32)
     geom = nh_model.build_nh_sphere_geometry(cfg, ztop=tc.ztop)
     state = tc.initial_state(geom, cfg.constants, dtype=jnp.float32)
-    first_step, step = nh_model.make_nh_step(cfg, geom)
+    constants = cfg.constants
 
-    # warmup / compile
+    first_step, multi = nh_model.make_nh_multistep(cfg, geom, inner)
+
+    # AOT-compile the scan once; reuse the executable for timing AND
+    # cost analysis (avoids a duplicate trace+compile).
     state, carry = first_step(state)
-    state, carry = step(state, carry)
-    jax.block_until_ready(state)
+    multi_c = multi.lower(state, carry).compile()
+    s, c = multi_c(state, carry)
+    jax.block_until_ready(s)
 
-    # async dispatch pipelines the per-call latency away
-    reps = 3
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        s, c = state, carry
-        for _ in range(inner):
-            s, c = step(s, c)
-        jax.block_until_ready(s)
-        best = min(best, (time.perf_counter() - t0) / inner)
+    t_multi = _timeit(multi_c, state, carry, reps=1, outer=4)
+    per_step = t_multi / inner
 
     npts = 6 * (ne * 4) ** 2 * nz
-    gps = npts / best
+    gps = npts / per_step
 
+    # --- roofline accounting -------------------------------------------
+    dev_kind = jax.devices()[0].device_kind
+    peak_flops, peak_bw = PEAKS.get(
+        dev_kind, PEAKS.get(jax.default_backend(), (197e12, 819e9)))
+
+    # XLA cost analysis counts a scan (while-loop) body ONCE regardless
+    # of trip count, so analyze a single compiled step for per-step cost.
+    _, step1 = nh_model.make_nh_step(cfg, geom)
+    flops, bytes_ub = _cost(step1.lower(state, carry).compile())
+
+    # lower bound on HBM traffic: full prognostic state read+written once
+    # per RK stage (KGU35 = 5), once for hyperdiffusion (2 Laplacian
+    # passes = 2x), once for the implicit solve (+ its aux metric reads).
+    state_bytes = sum(v.size * v.dtype.itemsize for v in state.values())
+    n_passes = 2 * (5 + 2 + 1)
+    bytes_lb = n_passes * state_bytes
+
+    sol_ms = max(flops / peak_flops, bytes_lb / peak_bw) * 1e3
+    result = {
+        "metric": METRIC,
+        "value": gps,
+        "unit": "gridpoint-steps/s",
+        "device": dev_kind,
+        "ms_per_step": per_step * 1e3,
+        "gflop_per_step": flops / 1e9,
+        "gbytes_ub_per_step": bytes_ub / 1e9,
+        "gbytes_lb_per_step": bytes_lb / 1e9,
+        "achieved_tflops": flops / per_step / 1e12,
+        "flops_frac_of_peak": flops / per_step / peak_flops,
+        "hbm_frac_ub": bytes_ub / per_step / peak_bw,
+        "hbm_frac_lb": bytes_lb / per_step / peak_bw,
+        "sol_ms_per_step": sol_ms,
+        "sol_frac": sol_ms / (per_step * 1e3),
+    }
+
+    # --- per-phase breakdown (reference Model.cpp:520-689 taxonomy) ----
+    if want_phases:
+        dss_state = nh_model.make_sphere_dss(geom)
+        if solver in ("banded", "pallas"):
+            q = nonhydro.estimate_bandwidth(geom, constants)
+            statics = nonhydro.band_assembly_statics(geom, q)
+        else:
+            q, statics = 0, None
+        phases = {
+            "HorizontalStep": jax.jit(
+                lambda st: nonhydro.horizontal_tendency(st, geom, constants)),
+            "VerticalStepExplicit": jax.jit(
+                lambda st: nonhydro.vertical_explicit_increment(
+                    st, geom, cfg.dt)),
+            "VerticalStepImplicit": jax.jit(
+                lambda st: nonhydro.vertical_implicit(
+                    st, geom, constants, 0.5 * cfg.dt,
+                    newton_iters=cfg.newton_iterations, solver=solver, q=q,
+                    band_statics=statics)),
+            "Communicate": jax.jit(dss_state),
+            "StepAfterSubCycle": jax.jit(
+                lambda st: hyperdiff.step_after_subcycle_nh(
+                    st, cfg.dt, cfg, geom, dss_state, None)),
+        }
+        result["phases_ms"] = {
+            name: _timeit(fn, s, reps=5, outer=3) * 1e3
+            for name, fn in phases.items()}
+
+    # --- vs_baseline ----------------------------------------------------
     baseline_file = os.path.join(os.path.dirname(__file__),
                                  "bench_baseline.json")
-    vs = None
     base = None
     if os.path.exists(baseline_file):
         with open(baseline_file) as f:
@@ -69,16 +189,11 @@ def main():
     if base is None:
         with open(baseline_file, "w") as f:
             json.dump({"value": gps, "metric": METRIC}, f)
-        vs = 1.0
+        result["vs_baseline"] = 1.0
     else:
-        vs = gps / base["value"]
+        result["vs_baseline"] = gps / base["value"]
 
-    print(json.dumps({
-        "metric": METRIC,
-        "value": gps,
-        "unit": "gridpoint-steps/s",
-        "vs_baseline": vs,
-    }))
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -294,9 +294,8 @@ def _column_residual(x, aux, geom_mats, constants, dt, nz):
     f_w = pgf + constants.g * aux["deriv_r_int"] + dke_i + curl
     f_w = f_w.at[0].set(0.0).at[-1].set(0.0)
 
-    # upwinding
-    if g["penalty_left"] is not None:
-        nfe = nz // g["vo"]
+    # upwinding (only at interior element edges, so nfe == 1 has none)
+    if g["penalty_left"] is not None and nz // g["vo"] > 1:
         wb = jnp.abs(xid_i[g["vo"]:nz:g["vo"]])
         wl = g["wscat_left"] @ wb
         wr = g["wscat_right"] @ wb
@@ -505,8 +504,258 @@ def column_residual_multi_jvp(x0, aux, g, constants, dt, nz, tangents):
     return out + tangents / dt
 
 
+def band_assembly_statics(geom, q: int):
+    """Host-side static tensors for the analytic banded-Jacobian assembly.
+
+    Every Jacobian block of the HEVI column system has the form
+    ``diag(a) . M . diag(b)`` or ``diag(a) . M1 . diag(d) . M2`` with M
+    static (the column operators): its band at block offset ``o`` is an
+    elementwise scaling of the static band ``M[k, k+o]``, or a tiny
+    static matmul ``T_o @ d`` with ``T_o[k, m] = M1[k, m] * M2[m, k+o]``.
+    This replaces the (2q+1)-coloring JVP sweeps of ``extract_bands_t``
+    (the round-1 hot spot: ~25 GB of HLO traffic per implicit solve at
+    ne30 L30) with a handful of small matmuls — the analytic analog of
+    the reference's hand-coded ``BuildJacobianF``
+    (``VerticalDynamicsFEM.cpp:3191``).
+
+    Requires a concrete (non-traced) ``geom``; call once per model build.
+    """
+    Di2n = np.asarray(geom.diff_i2n)        # (nz, nz+1)
+    In2i = np.asarray(geom.interp_n2i)      # (nz+1, nz)
+    Dn2i = np.asarray(geom.diff_n2i)        # (nz+1, nz)
+    Ii2n = np.asarray(geom.interp_i2n)      # (nz, nz+1)
+    DD = np.asarray(geom.diffdiff_i2i)      # (nz+1, nz+1)
+    nz = Di2n.shape[0]
+    vo = geom.vo
+    nfe = nz // vo
+
+    def offs(delta):
+        import math
+        lo = math.ceil((-q - delta) / 3)
+        hi = math.floor((q - delta) / 3)
+        return list(range(lo, hi + 1))
+
+    def sband(M, o):
+        """Static band M[k, k+o] as a (rows,) vector, zero out of range."""
+        K, L = M.shape
+        out = np.zeros(K, dtype=M.dtype)
+        k0, k1 = max(0, -o), min(K, L - o)
+        if k1 > k0:
+            out[k0:k1] = M[np.arange(k0, k1), np.arange(k0, k1) + o]
+        return out
+
+    def tprod(M1, M2, o):
+        """T_o[k, m] = M1[k, m] * M2[m, k+o] (zero where k+o out of range)."""
+        K, Mm = M1.shape
+        L = M2.shape[1]
+        T = np.zeros((K, Mm), dtype=M1.dtype)
+        for k in range(K):
+            j = k + o
+            if 0 <= j < L:
+                T[k] = M1[k] * M2[:, j]
+        return T
+
+    # Interleaved column indices: Rt_k -> 3k, W_k -> 3k+1, Rho_k -> 3k+2
+    # (k < nz), W_nz -> 3nz.  A block coupling at level offset o lands at
+    # band slot q + 3o + delta with delta = col_shift - row_shift; note
+    # delta differs per ROW type: (rt,w) has delta=+1 but (rho,w) has
+    # delta=-1, and the special last column W_nz sits at delta-1.
+    ow = sorted(set(offs(1)) | set(offs(-1)))
+    st = {"q": q, "nz": nz, "vo": vo, "offs0": offs(0),
+          "offs_p1": offs(1), "offs_m1": offs(-1)}
+    # (rt,rt)/(rho,rho): inv_jac . [Di2n diag(d1) In2i] - penalties + I/dt
+    st["TA"] = {o: tprod(Di2n, In2i, o) for o in offs(0)}
+    # (w,w): Dn2i diag(xid_n0) Ii2n + diag terms - upw |xid| DD
+    st["TB"] = {o: tprod(Dn2i, Ii2n, o) for o in offs(0)}
+    st["DDb"] = {o: sband(DD, o) for o in offs(0)}
+    # (rt,w) [delta +1] and (rho,w) [delta -1]: inv_jac . Di2n diag(e)
+    st["Di2n_b"] = {o: sband(Di2n, o) for o in ow}
+    # (w,rt): diag(r) Dn2i diag(dpi_drt), diag(r) In2i [delta -1]
+    st["Dn2i_b"] = {o: sband(Dn2i, o) for o in offs(-1)}
+    st["In2i_b"] = {o: sband(In2i, o) for o in ow}
+    if geom.penalty_left is not None and nfe > 1:
+        Pl = np.asarray(geom.penalty_left)
+        Pr = np.asarray(geom.penalty_right)
+        Wl = np.asarray(geom.wscat_left)    # (nz, nfe-1)
+        Wr = np.asarray(geom.wscat_right)
+        st["Pl_b"] = {o: sband(Pl, o) for o in offs(0)}
+        st["Pr_b"] = {o: sband(Pr, o) for o in offs(0)}
+        # U_o[k, a] = W[k, a] * [(a+1)*vo - k == o]  (weight-derivative
+        # coupling of the penalty to W at the element edges; rt rows use
+        # offs(1), rho rows offs(-1))
+        edges = (np.arange(nfe - 1) + 1) * vo
+        Ul, Ur = {}, {}
+        for o in ow:
+            m = (edges[None, :] - np.arange(nz)[:, None]) == o
+            Ul[o] = Wl * m
+            Ur[o] = Wr * m
+        st["Ul"], st["Ur"] = Ul, Ur
+        st["has_penalty"] = True
+    else:
+        st["has_penalty"] = False
+    return st
+
+
+def _shift_cols(b, o, K):
+    """out[..., k] = b[..., k+o] for k in [0, K), zero out of range."""
+    L = b.shape[-1]
+    k0, k1 = max(0, -o), min(K, L - o)
+    pre = jnp.zeros(b.shape[:-1] + (k0,), b.dtype)
+    post = jnp.zeros(b.shape[:-1] + (K - k1,), b.dtype)
+    return jnp.concatenate([pre, b[..., k0 + o:k1 + o], post], axis=-1)
+
+
+def assemble_bands_analytic(x0, aux, g, statics, constants, dt, nz):
+    """Banded Jacobian (n, 2q+1, ncol) of the column residual, directly.
+
+    Exact same matrix as ``extract_bands_t`` + ``column_residual_multi_jvp``
+    (tested to roundoff), built from primal factors and the static
+    tensors of :func:`band_assembly_statics` — one pass over the column
+    data instead of 2q+1 tangent sweeps.
+    """
+    c = constants
+    q = statics["q"]
+    b = 2 * q + 1
+    ncol = x0.shape[0]
+    dtype = x0.dtype
+
+    rt0 = x0[..., :nz]
+    w0 = x0[..., nz:2 * nz + 1]
+    rho0 = x0[..., 2 * nz + 1:]
+
+    # --- primal factors (mirror of column_residual_multi_jvp) ----------
+    w_n0 = colop(g["interp_i2n"], w0)
+    rho_i0 = colop(g["interp_n2i"], rho0)
+    rt_i0 = colop(g["interp_n2i"], rt0)
+    pi_n0 = exner_from_rhotheta(rt0, c)
+    dpi_drt = (c.Rd / (c.Cp - c.Rd)) * pi_n0 / rt0
+    dpi_i0 = colop(g["diff_n2i"], pi_n0)
+    cX = aux["con_xi_xi"]
+    cXi = aux["con_xi_xi_int"]
+    xid_n0 = (aux["con_a_xi"] * aux["u_n"] + aux["con_b_xi"] * aux["v_n"]
+              + cX * w_n0)
+    xid_i0 = (aux["con_a_xi_int"] * aux["u_i"]
+              + aux["con_b_xi_int"] * aux["v_i"] + cXi * w0)
+    mask = jnp.ones(nz + 1, dtype).at[0].set(0.0).at[-1].set(0.0)
+    xid_i0 = xid_i0 * mask
+    jac_i = aux["jac_int"]
+    inv_jac = 1.0 / aux["jac"]
+    curl_coef = -(aux["con_a_xi_int"] * aux["du_i"]
+                  + aux["con_b_xi_int"] * aux["dv_i"])
+    ddw0 = colop(g["diffdiff_i2i"], w0) * mask
+    upw_c = 0.5 / nz
+    sgn_xid = jnp.where(xid_i0 >= 0, 1.0, -1.0)
+
+    d1 = jac_i * xid_i0                      # already masked via xid_i0
+    e_rt = jac_i * rt_i0 * cXi * mask
+    e_rho = jac_i * rho_i0 * cXi * mask
+    inv_rho_i = 1.0 / rho_i0
+    r1 = rt_i0 * inv_rho_i
+    r2 = dpi_i0 * inv_rho_i
+    r3 = -dpi_i0 * rt_i0 * inv_rho_i * inv_rho_i
+
+    has_pen = statics["has_penalty"]
+    if has_pen:
+        vo = statics["vo"]
+        edge_sl = slice(vo, nz, vo)
+        wb0 = jnp.abs(xid_i0[..., edge_sl])
+        wl0 = jnp.einsum("KA,...A->...K", g["wscat_left"], wb0)
+        wr0 = jnp.einsum("KA,...A->...K", g["wscat_right"], wb0)
+        lrt0 = colop(g["penalty_left"], rt0)
+        rrt0 = colop(g["penalty_right"], rt0)
+        lrho0 = colop(g["penalty_left"], rho0)
+        rrho0 = colop(g["penalty_right"], rho0)
+        sgn_edge = jnp.where(xid_i0[..., edge_sl] >= 0, 1.0, -1.0) \
+            * cXi[..., edge_sl]
+
+    def npa(a):
+        return jnp.asarray(a, dtype)
+
+    zrow_n = jnp.zeros((ncol, nz), dtype)
+    zrow_i = jnp.zeros((ncol, nz + 1), dtype)
+    rt_slots = [zrow_n] * b     # also rho rows (block-diagonal twins)
+    rho_slots = [zrow_n] * b
+    w_slots = [zrow_i] * b
+
+    # --- (rt,rt) and (rho,rho) — identical blocks -----------------------
+    for o in statics["offs0"]:
+        d = q + 3 * o
+        val = inv_jac * jnp.einsum("km,cm->ck", npa(statics["TA"][o]), d1)
+        if has_pen:
+            val = val - wl0 * npa(statics["Pl_b"][o]) \
+                      - wr0 * npa(statics["Pr_b"][o])
+        if o == 0:
+            val = val + 1.0 / dt
+        rt_slots[d] = rt_slots[d] + val
+        rho_slots[d] = rho_slots[d] + val
+
+    # --- (rt,w): delta = +1 (col W_j = 3j+1, row Rt_k = 3k) ---------------
+    for o in statics["offs_p1"]:
+        d = q + 3 * o + 1
+        v_rt = inv_jac * npa(statics["Di2n_b"][o]) * _shift_cols(e_rt, o, nz)
+        if has_pen:
+            v_rt = v_rt - lrt0 * jnp.einsum(
+                "ka,ca->ck", npa(statics["Ul"][o]), sgn_edge) \
+                - rrt0 * jnp.einsum(
+                "ka,ca->ck", npa(statics["Ur"][o]), sgn_edge)
+        rt_slots[d] = rt_slots[d] + v_rt
+
+    # --- (rho,w): delta = -1 (col W_j = 3j+1, row Rho_k = 3k+2) -----------
+    for o in statics["offs_m1"]:
+        d = q + 3 * o - 1
+        v_rho = inv_jac * npa(statics["Di2n_b"][o]) \
+            * _shift_cols(e_rho, o, nz)
+        if has_pen:
+            v_rho = v_rho - lrho0 * jnp.einsum(
+                "ka,ca->ck", npa(statics["Ul"][o]), sgn_edge) \
+                - rrho0 * jnp.einsum(
+                "ka,ca->ck", npa(statics["Ur"][o]), sgn_edge)
+        rho_slots[d] = rho_slots[d] + v_rho
+
+    # --- (w,rt): delta = -1 ----------------------------------------------
+    for o in statics["offs_m1"]:
+        d = q + 3 * o - 1
+        v = mask * (r1 * npa(statics["Dn2i_b"][o])
+                    * _shift_cols(dpi_drt, o, nz + 1)
+                    + r2 * npa(statics["In2i_b"][o]))
+        w_slots[d] = w_slots[d] + v
+
+    # --- (w,rho): delta = +1 ----------------------------------------------
+    for o in statics["offs_p1"]:
+        d = q + 3 * o + 1
+        v2 = mask * r3 * npa(statics["In2i_b"][o])
+        w_slots[d] = w_slots[d] + v2
+
+    # --- (w,w) ------------------------------------------------------------
+    # col W_j sits at 3j+1 except j = nz (at 3nz): the entry whose column
+    # is W_nz (row i = nz - o, o >= 1) belongs one slot LEFT of q + 3o.
+    for o in statics["offs0"]:
+        d = q + 3 * o
+        val = jnp.einsum("im,cm->ci", npa(statics["TB"][o]), xid_n0)
+        val = val - upw_c * jnp.abs(xid_i0) * npa(statics["DDb"][o])
+        if o == 0:
+            val = val + curl_coef - upw_c * sgn_xid * ddw0 * cXi * mask
+        val = val * mask
+        if o >= 1:
+            last_col = jnp.zeros(nz + 1, dtype).at[nz - o].set(1.0)
+            w_slots[d - 1] = w_slots[d - 1] + val * last_col
+            val = val * (1.0 - last_col)
+        if o == 0:
+            val = val + 1.0 / dt
+        w_slots[d] = w_slots[d] + val
+
+    # --- interleave into (n, b, ncol) -------------------------------------
+    rt_t = jnp.stack(rt_slots, axis=0).transpose(2, 0, 1)     # (nz, b, ncol)
+    rho_t = jnp.stack(rho_slots, axis=0).transpose(2, 0, 1)
+    w_t = jnp.stack(w_slots, axis=0).transpose(2, 0, 1)       # (nz+1, b, ncol)
+    trip = jnp.stack([rt_t, w_t[:nz], rho_t], axis=1)         # (nz, 3, b, ncol)
+    return jnp.concatenate(
+        [trip.reshape(3 * nz, b, ncol), w_t[nz:]], axis=0)
+
+
 def vertical_implicit(state, geom, constants, dt, newton_iters: int = 1,
-                      solver: str = "dense", q: int = 4):
+                      solver: str = "dense", q: int = 4,
+                      band_statics=None):
     """Batched HEVI implicit column update of (Rt, W, Rho).
 
     One Newton step with the AD-exact Jacobian; ``solver`` selects the
@@ -531,10 +780,17 @@ def vertical_implicit(state, geom, constants, dt, newton_iters: int = 1,
             return column_residual_multi_jvp(
                 x, aux, gmats, constants, dt, nz, tangents)
 
+        bands_fn = None
+        if band_statics is not None:
+            def bands_fn(xx):
+                return assemble_bands_analytic(
+                    xx, aux, gmats, band_statics, constants, dt, nz)
+
         for _ in range(newton_iters):
             x = vb.banded_newton_update(batched_resid, x, q, nz,
                                         use_pallas=(solver == "pallas"),
-                                        multi_jvp=multi_jvp)
+                                        multi_jvp=multi_jvp,
+                                        bands_fn=bands_fn)
     elif solver == "schur":
         # Schur elimination of W (reference --vmethod SCHUR)
         from .vertical_schur import schur_newton_update

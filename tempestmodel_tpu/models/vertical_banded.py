@@ -141,18 +141,24 @@ def banded_solve_t(bands, rhs, q: int):
 
 
 def banded_newton_update(batched_resid, x0, q: int, nz: int,
-                         use_pallas: bool = False, multi_jvp=None):
+                         use_pallas: bool = False, multi_jvp=None,
+                         bands_fn=None):
     """One Newton step x0 - J^-1 F(x0) using the banded path.
 
     ``use_pallas``: solve with the fused Pallas TPU kernel
     (``ops/pallas_banded``, 2.3x the XLA scan on v5e) instead of the
     lax.scan formulation.  ``multi_jvp``: hand-fused band extraction.
+    ``bands_fn``: x -> (n, 2q+1, ncol) analytic band assembly (fastest:
+    no tangent sweeps at all; see ``nonhydro.assemble_bands_analytic``).
     """
     perm = jnp.asarray(interleave_perm(nz))
     inv_perm = jnp.argsort(perm)
     f = batched_resid(x0)[:, perm].T                  # (n, ncol)
-    bands = extract_bands_t(batched_resid, x0, q, perm, inv_perm,
-                            multi_jvp=multi_jvp)
+    if bands_fn is not None:
+        bands = bands_fn(x0)
+    else:
+        bands = extract_bands_t(batched_resid, x0, q, perm, inv_perm,
+                                multi_jvp=multi_jvp)
     if use_pallas:
         from ..ops.pallas_banded import banded_solve_pallas
         dx_p = banded_solve_pallas(bands, f, q)

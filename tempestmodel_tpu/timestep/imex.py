@@ -86,10 +86,12 @@ def make_imex_step(cfg: ModelConfig, geom, dss_state: Callable,
     constants = cfg.constants
     dt = cfg.dt
 
-    if cfg.vertical_solver == "banded":
+    if cfg.vertical_solver in ("banded", "pallas"):
         q = nonhydro.estimate_bandwidth(geom, constants)
+        band_statics = nonhydro.band_assembly_statics(geom, q)
     else:
         q = 0
+        band_statics = None
 
     def explicit_tendency(u):
         """Horizontal + explicit-vertical tendency (per unit time)."""
@@ -105,7 +107,7 @@ def make_imex_step(cfg: ModelConfig, geom, dss_state: Callable,
     def implicit(u, dti):
         return nonhydro.vertical_implicit(
             u, geom, constants, dti, newton_iters=cfg.newton_iterations,
-            solver=cfg.vertical_solver, q=q)
+            solver=cfg.vertical_solver, q=q, band_statics=band_statics)
 
     @jax.jit
     def step(state):

@@ -62,16 +62,18 @@ def make_strang_step(cfg: ModelConfig, geom, dss_state: Callable,
             return dss_state(upd, halo=shadow)
         return dss_state(upd)
 
-    if cfg.vertical_solver == "banded":
+    if cfg.vertical_solver in ("banded", "pallas"):
         q = nonhydro.estimate_bandwidth(geom, constants)
+        band_statics = nonhydro.band_assembly_statics(geom, q)
     else:
         q = 0
+        band_statics = None
 
     def implicit(s, dti):
         def core(st, gm):
             return nonhydro.vertical_implicit(
                 st, gm, constants, dti, newton_iters=cfg.newton_iterations,
-                solver=cfg.vertical_solver, q=q)
+                solver=cfg.vertical_solver, q=q, band_statics=band_statics)
         if mesh is not None:
             from ..parallel.dss_shardmap import wrap_columnwise
             out = wrap_columnwise(core, mesh, geom)(s)
