@@ -90,20 +90,56 @@ def make_parser():
     ap.add_argument("--nsteps", type=int, default=None)
     ap.add_argument("--timescheme", default="strang")
     ap.add_argument("--explicitscheme", default="kgu35")
+    ap.add_argument("--explicitvertical", action="store_true",
+                    help="no implicit vertical solve (pure explicit RK)")
+    # dynamics variants (TempestInitialize.h:143-144)
+    ap.add_argument("--hmethod", default="V1",
+                    help="horizontal dynamics: V1 | SPEX | HS")
+    ap.add_argument("--vmethod", default="V1",
+                    help="vertical solver: V1(banded) | V2(pallas) | SCHUR "
+                         "| JFNK | DENSE")
+    ap.add_argument("--vstagger", default="LOR",
+                    help="vertical staggering: LEV | INT | LOR | CPH")
+    ap.add_argument("--vstretch", default="uniform",
+                    help="vertical stretch: uniform | cubic | pwlinear")
+    ap.add_argument("--newtoniter", type=int, default=1,
+                    help="Newton iterations per implicit vertical solve")
+    ap.add_argument("--vertupwind", type=float, default=0.0,
+                    help="vertical flux upwinding coefficient")
     ap.add_argument("--nu", type=float, default=1.0e15)
     ap.add_argument("--nud", type=float, default=1.0e15)
     ap.add_argument("--nuv", type=float, default=1.0e15)
     ap.add_argument("--hypervisorder", type=int, default=4)
     ap.add_argument("--nohypervis", action="store_true")
     ap.add_argument("--norayleigh", action="store_true")
+    ap.add_argument("--norefstate", action="store_true",
+                    help="skip error norms vs the reference state")
     ap.add_argument("--fp32", action="store_true")
     ap.add_argument("--output_dir", default=None)
+    ap.add_argument("--output_prefix", default="out")
     ap.add_argument("--output_dt", default=None)
+    ap.add_argument("--output_format", default="npz",
+                    help="scientific output format: npz | nc (NetCDF)")
+    ap.add_argument("--output_x", type=int, default=180,
+                    help="lat-lon output grid: longitudes")
+    ap.add_argument("--output_y", type=int, default=91,
+                    help="lat-lon output grid: latitudes")
+    ap.add_argument("--output_vort", action="store_true")
+    ap.add_argument("--output_div", action="store_true")
+    ap.add_argument("--output_ps", action="store_true")
+    ap.add_argument("--output_Ri", action="store_true")
     ap.add_argument("--output_restart_dt", default=None)
     ap.add_argument("--restart_file", default=None)
+    ap.add_argument("--perturb_restart", action="store_true",
+                    help="re-apply the test case perturbation on restart")
     ap.add_argument("--checksum_dt", default=None)
     ap.add_argument("--verbose", action="store_true")
     return ap
+
+
+_VMETHOD = {"v1": "banded", "v2": "pallas", "schur": "schur",
+            "jfnk": "jfnk", "dense": "dense", "banded": "banded",
+            "pallas": "pallas"}
 
 
 def main(argv=None):
@@ -127,8 +163,28 @@ def main(argv=None):
     kw["vertical_order"] = args.vertorder
     if args.dt is not None:
         kw["dt"] = parse_duration_seconds(args.dt)
+    hm = args.hmethod.lower()
+    if hm == "spex":
+        args.timescheme = "spex"
+    elif hm == "hs":
+        args.timescheme = "hs"
+    elif hm != "v1":
+        raise SystemExit(f"unknown --hmethod {args.hmethod!r}")
     kw["timescheme"] = TimestepSchemeType(args.timescheme)
     kw["explicit_scheme"] = ExplicitSubScheme(args.explicitscheme)
+    kw["explicit_vertical"] = args.explicitvertical
+    vm = args.vmethod.lower()
+    if vm == "none":
+        kw["explicit_vertical"] = True
+    elif vm in _VMETHOD:
+        kw["vertical_solver"] = _VMETHOD[vm]
+    else:
+        raise SystemExit(f"unknown --vmethod {args.vmethod!r}")
+    from .config import VerticalStaggering
+    kw["vertical_staggering"] = VerticalStaggering(args.vstagger.upper())
+    kw["vertical_stretch"] = args.vstretch
+    kw["newton_iterations"] = args.newtoniter
+    kw["vertical_upwinding"] = args.vertupwind
     kw["nu_scalar"], kw["nu_div"], kw["nu_vort"] = args.nu, args.nud, args.nuv
     kw["hypervis_order"] = args.hypervisorder
     if args.nohypervis:
@@ -147,8 +203,14 @@ def main(argv=None):
                                 printer=print))
     if args.output_dir and args.output_dt and \
             kw.get("grid_kind") == GridKind.CUBED_SPHERE:
-        oms.append(ReferenceOutput(parse_duration_seconds(args.output_dt),
-                                   args.output_dir))
+        oms.append(ReferenceOutput(
+            parse_duration_seconds(args.output_dt), args.output_dir,
+            nlat=args.output_y, nlon=args.output_x,
+            prefix=args.output_prefix, fmt=args.output_format,
+            output_vorticity=args.output_vort,
+            output_divergence=args.output_div,
+            output_surface_pressure=args.output_ps,
+            output_richardson=args.output_Ri))
     if args.output_dir and args.output_restart_dt:
         oms.append(CompositeCheckpoint(
             parse_duration_seconds(args.output_restart_dt), args.output_dir))
@@ -156,11 +218,11 @@ def main(argv=None):
     m = Model(cfg, tc, output_managers=oms, workflow_processes=wps,
               verbose=args.verbose)
     if args.restart_file:
-        m.restart_from(args.restart_file)
+        m.restart_from(args.restart_file, perturb=args.perturb_restart)
 
     m.go(end_time=args.endtime, nsteps=args.nsteps)
 
-    if m.reference is not None:
+    if m.reference is not None and not args.norefstate:
         norms = m.compute_error_norms()
         print("Error norms vs reference state (L1/L2/Linf relative):")
         for comp, n in norms.items():

@@ -23,6 +23,63 @@ class EquationSet(enum.Enum):
     ADVECTION = "advection"
     SHALLOW_WATER = "shallowwater"           # components U, V, H
     PRIMITIVE_NONHYDRO = "primitivenonhydro"  # components U, V, RhoTheta(P), W, Rho
+    MASS_COORD = "masscoord"  # mass-coordinate primitive eqns (metadata only,
+    #                         # like the reference: no dynamics implement it)
+
+
+@dataclasses.dataclass(frozen=True)
+class EquationSetInfo:
+    """Equation-set metadata (reference ``EquationSet.cpp:30-100``):
+    dimensionality + prognostic component short/full names.  Tracers are
+    registered per run via ``with_tracers`` (``EquationSet.h:89-96``)."""
+    dimensionality: int
+    short_names: tuple
+    full_names: tuple
+    tracer_short_names: tuple = ()
+    tracer_full_names: tuple = ()
+
+    @property
+    def n_components(self) -> int:
+        return len(self.short_names)
+
+    @property
+    def n_tracers(self) -> int:
+        return len(self.tracer_short_names)
+
+    def with_tracers(self, short_names, full_names=None) -> "EquationSetInfo":
+        full = tuple(full_names) if full_names is not None \
+            else tuple(short_names)
+        return dataclasses.replace(
+            self,
+            tracer_short_names=self.tracer_short_names + tuple(short_names),
+            tracer_full_names=self.tracer_full_names + full)
+
+
+def equation_set_info(es: EquationSet) -> EquationSetInfo:
+    """Component metadata per equation set.
+
+    Matches the reference's tables for the default thermodynamic
+    formulation (FORMULATION_RHOTHETA_PI, ``Defines.h:41``) and
+    vertical-velocity prognostic (W, not RhoW).
+    """
+    if es == EquationSet.ADVECTION:
+        return EquationSetInfo(3, (), ())
+    if es == EquationSet.SHALLOW_WATER:
+        return EquationSetInfo(
+            2, ("U", "V", "H"),
+            ("Alpha velocity", "Beta velocity", "Free surface height"))
+    if es == EquationSet.PRIMITIVE_NONHYDRO:
+        return EquationSetInfo(
+            3, ("U", "V", "RhoTheta", "W", "Rho"),
+            ("Alpha velocity", "Beta velocity",
+             "Potential Temperature Density", "Vertical velocity",
+             "Density"))
+    if es == EquationSet.MASS_COORD:
+        return EquationSetInfo(
+            3, ("U", "V", "Theta", "W", "Pressure", "ColumnMass"),
+            ("Alpha velocity", "Beta velocity", "Potential Temperature",
+             "Vertical velocity", "Pressure", "Column Mass"))
+    raise ValueError(es)
 
 
 class VerticalStaggering(enum.Enum):
@@ -40,7 +97,10 @@ class TimestepSchemeType(enum.Enum):
     ARS222 = "ars222"
     ARS232 = "ars232"
     ARK232 = "ark232"
+    GARK2 = "gark2"      # 2nd-order IMEX GARK (Sandu & Gunther 2013, ex. 7)
     ARS343 = "ars343"
+    ARS343B = "ars343b"  # same tableau as ARS343; the reference variant
+    #                    # differs only in its fused-combine implementation
     ARS443 = "ars443"
     SSP3332 = "ssp3332"
 

@@ -111,16 +111,19 @@ class ReferenceOutput(OutputManager):
     """
 
     def __init__(self, interval: float, outdir: str, nlat: int = 91,
-                 nlon: int = 180, prefix: str = "out",
+                 nlon: int = 180, prefix: str = "out", fmt: str = "npz",
                  output_vorticity: bool = False,
                  output_divergence: bool = False,
                  output_surface_pressure: bool = False,
                  output_richardson: bool = False):
+        """``fmt``: "npz" or "nc" (CF NetCDF-3 classic, the reference's
+        native output format — ``OutputManagerReference.cpp:304-760``)."""
         super().__init__(interval)
         self.outdir = outdir
         self.nlat = nlat
         self.nlon = nlon
         self.prefix = prefix
+        self.fmt = fmt
         self.output_vorticity = output_vorticity
         self.output_divergence = output_divergence
         self.output_surface_pressure = output_surface_pressure
@@ -209,9 +212,27 @@ class ReferenceOutput(OutputManager):
                 fields["Vorticity"] = np.asarray(it.scalar(vor))
             if self.output_divergence:
                 fields["Divergence"] = np.asarray(it.scalar(div))
-        path = os.path.join(
-            self.outdir, f"{self.prefix}.{self.count:06d}.npz")
-        np.savez_compressed(path, **fields)
+        if self.fmt == "nc":
+            from .netcdf import write_netcdf
+            path = os.path.join(
+                self.outdir, f"{self.prefix}.{self.count:06d}.nc")
+            data = {k: v for k, v in fields.items()
+                    if k not in ("lat", "lon", "time")}
+            tracers = data.pop("Tracers", None)
+            if tracers is not None:
+                for i in range(tracers.shape[0]):
+                    data[f"Q{i}"] = tracers[i]
+            lev = None
+            if "Rho" in s:
+                # mean level height as the vertical coordinate
+                lev = np.asarray(model.geom.z_lev).reshape(
+                    -1, model.geom.nz).mean(axis=0)
+            write_netcdf(path, data, np.degrees(it.lat),
+                         np.degrees(it.lon), lev=lev, time=t)
+        else:
+            path = os.path.join(
+                self.outdir, f"{self.prefix}.{self.count:06d}.npz")
+            np.savez_compressed(path, **fields)
         self.count += 1
         return path
 

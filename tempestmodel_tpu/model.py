@@ -65,6 +65,14 @@ class Model:
             import dataclasses as _dc
             cfg = _dc.replace(
                 cfg, constants=testcase.physical_constants(cfg.constants))
+        from .config import VerticalStaggering
+        if cfg.equation_set != EquationSet.SHALLOW_WATER and \
+                cfg.vertical_staggering not in (
+                    VerticalStaggering.LORENZ,
+                    VerticalStaggering.CHARNEY_PHILLIPS):
+            raise NotImplementedError(
+                f"vertical staggering {cfg.vertical_staggering.value}: "
+                "only LOR and CPH are implemented")
         self.cfg = cfg
         self.testcase = testcase
         self.output_managers = list(output_managers)
@@ -133,10 +141,23 @@ class Model:
         self.time = time
         self.step_count = step
 
-    def restart_from(self, path):
-        """Resume from a ``CompositeCheckpoint`` file."""
+    def restart_from(self, path, perturb: bool = False):
+        """Resume from a ``CompositeCheckpoint`` file.
+
+        ``perturb``: re-apply the test case's perturbation to the restored
+        state (the reference's ``--perturb_restart``, ``Model.cpp:250-257``
+        -> ``Grid::EvaluateTestCase_Perturbation``).
+        """
         from .io.output import CompositeCheckpoint
         state, carry, t, step = CompositeCheckpoint.load(path)
+        if perturb:
+            if not hasattr(self.testcase, "apply_perturbation"):
+                raise ValueError(
+                    f"test case {type(self.testcase).__name__} has no "
+                    "perturbation (apply_perturbation method)")
+            state = self.testcase.apply_perturbation(
+                state, self.geom, self.cfg.constants)
+            carry = None      # carryover combination is stale after a kick
         self.set_state(state, carry, t, step)
 
     # ------------------------------------------------------------------

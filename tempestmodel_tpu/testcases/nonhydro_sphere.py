@@ -122,6 +122,32 @@ class BaroclinicWaveUMJS:
                 "Rt": jnp.asarray(rt, dtype), "W": jnp.asarray(w, dtype),
                 "Rho": jnp.asarray(rho, dtype)}
 
+    def apply_perturbation(self, state, geom, constants):
+        """Add the exp zonal-wind perturbation to an existing state.
+
+        Analog of ``EvaluatePointwisePerturbation`` +
+        ``Grid::EvaluateTestCase_Perturbation`` (``Grid.cpp:426``,
+        ``GridPatchCSGLL.cpp:924-1040``): the pointwise perturbation is
+        *added* to the restored state (the ``--perturb_restart`` path,
+        ``Model.cpp:250-257``).
+        """
+        lon = np.asarray(geom.lon)[..., None]
+        lat = np.asarray(geom.lat)[..., None]
+        z = np.asarray(geom.z_lev)
+        dulon = self._perturbation_ulon(z, lon, lat) \
+            + np.zeros_like(z)                  # broadcast to full shape
+        nz = geom.nz
+        dU = np.zeros(dulon.shape)
+        dV = np.zeros(dulon.shape)
+        zeros = np.zeros(dulon.shape[:3])
+        for kk in range(nz):
+            dU[..., kk], dV[..., kk] = sphere_velocity_to_covariant(
+                dulon[..., kk], zeros, geom, constants)
+        out = dict(state)
+        out["U"] = state["U"] + jnp.asarray(dU, state["U"].dtype)
+        out["V"] = state["V"] + jnp.asarray(dV, state["V"].dtype)
+        return out
+
     def rayleigh_strength(self, z):
         """Rayleigh damping profile (reference ``:205-221``):
         nu = 0.5 * strength * (1 + cos(pi * (ztop - z)/depth)) in the top

@@ -47,7 +47,11 @@ def _tableaux(kind: TimestepSchemeType):
         al = (3.0 + 2.0 * s2) / 6.0
         return ([[2 * g, 0, 0], [1.0 - al, al, 0], [d, d, g]],
                 [[g, g, 0], [d, d, g], [d, d, g]])
-    if kind == TimestepSchemeType.ARS343:
+    if kind in (TimestepSchemeType.ARS343, TimestepSchemeType.ARS343B):
+        # ARS343b (TimestepSchemeARS343b.cpp) carries the identical
+        # Ascher et al. 1997 tableau; the reference variant differs only
+        # in evaluating stages through fused StepExplicitCombine calls —
+        # an implementation detail XLA fusion subsumes here.
         g = 0.4358665215084590
         b1 = -1.5 * g * g + 4.0 * g - 0.25
         b2 = 1.5 * g * g - 5.0 * g + 1.25
@@ -81,6 +85,8 @@ def _tableaux(kind: TimestepSchemeType):
 def make_imex_step(cfg: ModelConfig, geom, dss_state: Callable,
                    ref_state=None):
     """Jitted IMEX-ARK step: state -> state (self-starting, no carry)."""
+    if cfg.timescheme == TimestepSchemeType.GARK2:
+        return _make_gark2_step(cfg, geom, dss_state, ref_state)
     aexp, aimp = _tableaux(cfg.timescheme)
     s = len(aexp)
     constants = cfg.constants
@@ -135,5 +141,65 @@ def make_imex_step(cfg: ModelConfig, geom, dss_state: Callable,
                 G.append(jax.tree_util.tree_map(lambda a: a * 0.0, uf))
         return hyperdiff.step_after_subcycle_nh(
             u, dt, cfg, geom, dss_state, ref_state)
+
+    return step
+
+
+def _make_gark2_step(cfg: ModelConfig, geom, dss_state: Callable,
+                     ref_state=None):
+    """2nd-order IMEX-GARK step (Sandu & Gunther 2013, example 7).
+
+    Reference ``TimestepSchemeGARK2.cpp``.  The GARK coupling tables do
+    not fit the plain ARK U-form loop: the stage-2 explicit tendency is
+    evaluated at uf2 = u0 + dt F0 + dt G1 (the explicit-implicit coupling
+    row) while the stage-2 implicit input combines the implicit-explicit
+    row z2 = u0 + alpha dt F0 + (1-gamma) dt G1 + (1-alpha) dt F(uf2).
+    """
+    g = 1.0 - 0.5 * math.sqrt(2.0)   # m_dgamma
+    al = 0.5                         # m_dalpha
+    constants = cfg.constants
+    dt = cfg.dt
+
+    if cfg.vertical_solver in ("banded", "pallas"):
+        q = nonhydro.estimate_bandwidth(geom, constants)
+        band_statics = nonhydro.band_assembly_statics(geom, q)
+    else:
+        q = 0
+        band_statics = None
+
+    def explicit_tendency(u):
+        tend = nonhydro.horizontal_tendency(u, geom, constants)
+        vinc = nonhydro.vertical_explicit_increment(u, geom, 1.0)
+        tend["U"] = tend["U"] + vinc["U"]
+        tend["V"] = tend["V"] + vinc["V"]
+        return tend
+
+    def postprocess(u):
+        return dss_state(nonhydro.apply_w_boundary(u, geom))
+
+    def implicit(u, dti):
+        return nonhydro.vertical_implicit(
+            u, geom, constants, dti, newton_iters=cfg.newton_iterations,
+            solver=cfg.vertical_solver, q=q, band_statics=band_statics)
+
+    @jax.jit
+    def step(u0):
+        F0 = explicit_tendency(u0)
+        # stage 1: uf1 = u0 + g dt F0; u1 implicit over g dt
+        uf1 = postprocess(tree_axpy(u0, F0, g * dt))
+        u1 = implicit(uf1, g * dt)
+        G1 = jax.tree_util.tree_map(
+            lambda a, b: (a - b) / (g * dt), u1, uf1)
+        # explicit-implicit coupling point: uf2 = u0 + dt F0 + dt G1
+        uf2 = postprocess(tree_axpy(tree_axpy(u0, F0, dt), G1, dt))
+        F1 = explicit_tendency(uf2)
+        # stage 2 implicit input:
+        #   z2 = u0 + al dt F0 + (1-g) dt G1 + (1-al) dt F1
+        z2 = tree_axpy(tree_axpy(tree_axpy(
+            u0, F0, al * dt), G1, (1.0 - g) * dt), F1, (1.0 - al) * dt)
+        z2 = postprocess(z2)
+        u2 = implicit(z2, g * dt)
+        return hyperdiff.step_after_subcycle_nh(
+            u2, dt, cfg, geom, dss_state, ref_state)
 
     return step

@@ -111,8 +111,8 @@ def test_held_suarez_physics_smoke():
     assert theta.min() > 150.0
 
 
-@pytest.mark.parametrize("scheme", ["ars222", "ars232", "ark232", "ars343",
-                                    "ars443", "ssp3332"])
+@pytest.mark.parametrize("scheme", ["ars222", "ars232", "ark232", "gark2",
+                                    "ars343", "ars343b", "ars443", "ssp3332"])
 def test_imex_schemes_bubble(scheme):
     """Every IMEX-ARK scheme integrates the thermal bubble stably."""
     from tempestmodel_tpu.config import TimestepSchemeType
@@ -229,3 +229,79 @@ def test_supercell_initialization_and_run():
     assert np.isfinite(th2).all()
     w = np.asarray(m.state["W"] / m.geom.deriv_r_int[..., 2])
     assert np.abs(w).max() < 30.0             # updraft forming, bounded
+
+
+def test_netcdf_reference_output(tmp_path):
+    """NetCDF-format scientific output: CF file readable by scipy/ncdump."""
+    tc = BaroclinicWaveUMJS()
+    cfg = ModelConfig(grid_kind=GridKind.CUBED_SPHERE, ne=4, order=4, nz=8,
+                      ztop=tc.ztop, dt=300.0, hyperdiffusion=False,
+                      equation_set=EquationSet.PRIMITIVE_NONHYDRO)
+    ro = ReferenceOutput(interval=300.0, outdir=str(tmp_path),
+                         nlat=19, nlon=36, fmt="nc")
+    m = Model(cfg, tc, output_managers=[ro])
+    m.go(nsteps=1)
+    files = [f for f in os.listdir(tmp_path) if f.endswith(".nc")]
+    assert files
+    from tempestmodel_tpu.io.netcdf import read_netcdf
+    d = read_netcdf(os.path.join(tmp_path, sorted(files)[0]))
+    assert d["lat"].shape == (19,) and d["lon"].shape == (36,)
+    assert d["U"].shape == (1, 8, 19, 36)       # (time, lev, lat, lon)
+    assert d["W"].shape == (1, 9, 19, 36)       # interface-staggered
+    assert 150.0 < d["T"].min() and d["T"].max() < 350.0
+    # the raw classic-format header must be valid NetCDF (magic bytes)
+    with open(os.path.join(tmp_path, sorted(files)[0]), "rb") as fh:
+        assert fh.read(3) == b"CDF"
+
+
+def test_perturb_restart(tmp_path):
+    """--perturb_restart: testcase perturbation re-applied on restore."""
+    tc_nopert = BaroclinicWaveUMJS(pert="none")
+    tc_pert = BaroclinicWaveUMJS(pert="exp")
+    cfg = ModelConfig(grid_kind=GridKind.CUBED_SPHERE, ne=4, order=4, nz=8,
+                      ztop=tc_nopert.ztop, dt=300.0, hyperdiffusion=False,
+                      equation_set=EquationSet.PRIMITIVE_NONHYDRO)
+    ckpt = CompositeCheckpoint(interval=300.0, outdir=str(tmp_path))
+    m = Model(cfg, tc_nopert, output_managers=[ckpt])
+    m.go(nsteps=1)
+    files = sorted(os.listdir(tmp_path))
+    assert files
+
+    m2 = Model(cfg, tc_pert)
+    m2.restart_from(os.path.join(tmp_path, files[0]), perturb=True)
+    # restored state plus perturbation == checkpointed state + delta
+    m3 = Model(cfg, tc_nopert)
+    m3.restart_from(os.path.join(tmp_path, files[0]))
+    dU = np.asarray(m2.state["U"]) - np.asarray(m3.state["U"])
+    assert np.abs(dU).max() > 1e-8          # perturbation actually applied
+    np.testing.assert_array_equal(np.asarray(m2.state["Rho"]),
+                                  np.asarray(m3.state["Rho"]))
+    # and the perturbed-restart run keeps integrating stably
+    m2.go(nsteps=1)
+    assert np.isfinite(np.asarray(m2.state["U"])).all()
+
+
+def test_equation_set_info():
+    """Equation-set metadata parity (EquationSet.cpp:30-100)."""
+    from tempestmodel_tpu.config import equation_set_info
+    sw = equation_set_info(EquationSet.SHALLOW_WATER)
+    assert sw.dimensionality == 2 and sw.short_names == ("U", "V", "H")
+    nh = equation_set_info(EquationSet.PRIMITIVE_NONHYDRO)
+    assert nh.n_components == 5
+    assert nh.short_names[2] == "RhoTheta"      # FORMULATION_RHOTHETA_PI
+    mc = equation_set_info(EquationSet.MASS_COORD)
+    assert mc.n_components == 6
+    assert mc.short_names[-1] == "ColumnMass"
+    tr = nh.with_tracers(["Qv", "Qc"], ["Water vapor", "Cloud water"])
+    assert tr.n_tracers == 2 and nh.n_tracers == 0
+
+
+def test_cli_flags_smoke(tmp_path, capsys):
+    """CLI runs a tiny case end-to-end with the extended flag set."""
+    from tempestmodel_tpu.cli import main
+    rc = main(["--case", "thermal_bubble", "--resolution", "4",
+               "--levels", "8", "--order", "4", "--dt", "0.2s",
+               "--nsteps", "2", "--nohypervis",
+               "--vmethod", "SCHUR", "--vstagger", "LOR",
+               "--vstretch", "uniform", "--newtoniter", "2"])
+    assert rc == 0
