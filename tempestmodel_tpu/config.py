@@ -169,6 +169,11 @@ class ModelConfig:
     vertical_solver: str = "banded"   # "banded" (DGBSV analog) | "dense"
     #                                 # | "pallas" (fused TPU kernel)
     #                                 # | "jfnk" (matrix-free GMRES)
+    jacobian_mode: str = "exact"      # "exact" (AD-consistent analytic
+    #                                 # Jacobian) | "reference" (replicate
+    #                                 # the reference's approximate
+    #                                 # BuildJacobianF entry-for-entry,
+    #                                 # for bitwise trajectory parity)
 
     # --- numerics ---
     dtype: jnp.dtype = jnp.float64    # fp64 for parity tests; fp32/bf16 for speed

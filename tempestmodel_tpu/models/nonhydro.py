@@ -605,13 +605,24 @@ def _shift_cols(b, o, K):
     return jnp.concatenate([pre, b[..., k0 + o:k1 + o], post], axis=-1)
 
 
-def assemble_bands_analytic(x0, aux, g, statics, constants, dt, nz):
+def assemble_bands_analytic(x0, aux, g, statics, constants, dt, nz,
+                            ref_jacobian: bool = False):
     """Banded Jacobian (n, 2q+1, ncol) of the column residual, directly.
 
     Exact same matrix as ``extract_bands_t`` + ``column_residual_multi_jvp``
     (tested to roundoff), built from primal factors and the static
     tensors of :func:`band_assembly_statics` — one pass over the column
     data instead of 2q+1 tangent sweeps.
+
+    ``ref_jacobian=True`` reproduces the reference's hand-coded
+    approximate Jacobian (``BuildJacobianF_LOR_RhoTheta_Pi``,
+    ``VerticalDynamicsFEM.cpp:2977-3190``) entry-for-entry instead of
+    the exact one.  The reference drops two contributions the exact
+    Jacobian has: (a) the curl-term diagonal d(curl)/dW in the W rows,
+    and (b) it uses sign(0) = 0 in the two sign-weighted upwinding
+    couplings (``BuildJacobianF_Diffusion``, ``:2884-2950``) where AD's
+    subgradient is +1.  With this mode the single Newton step matches
+    the reference's to roundoff, giving long-horizon trajectory parity.
     """
     c = constants
     q = statics["q"]
@@ -644,7 +655,10 @@ def assemble_bands_analytic(x0, aux, g, statics, constants, dt, nz):
                   + aux["con_b_xi_int"] * aux["dv_i"])
     ddw0 = colop(g["diffdiff_i2i"], w0) * mask
     upw_c = 0.5 / nz
-    sgn_xid = jnp.where(xid_i0 >= 0, 1.0, -1.0)
+    if ref_jacobian:
+        sgn_xid = jnp.sign(xid_i0)           # reference: sign(0) = 0
+    else:
+        sgn_xid = jnp.where(xid_i0 >= 0, 1.0, -1.0)   # AD subgradient
 
     d1 = jac_i * xid_i0                      # already masked via xid_i0
     e_rt = jac_i * rt_i0 * cXi * mask
@@ -665,8 +679,11 @@ def assemble_bands_analytic(x0, aux, g, statics, constants, dt, nz):
         rrt0 = colop(g["penalty_right"], rt0)
         lrho0 = colop(g["penalty_left"], rho0)
         rrho0 = colop(g["penalty_right"], rho0)
-        sgn_edge = jnp.where(xid_i0[..., edge_sl] >= 0, 1.0, -1.0) \
-            * cXi[..., edge_sl]
+        if ref_jacobian:
+            sgn_edge = jnp.sign(xid_i0[..., edge_sl]) * cXi[..., edge_sl]
+        else:
+            sgn_edge = jnp.where(xid_i0[..., edge_sl] >= 0, 1.0, -1.0) \
+                * cXi[..., edge_sl]
 
     def npa(a):
         return jnp.asarray(a, dtype)
@@ -734,7 +751,10 @@ def assemble_bands_analytic(x0, aux, g, statics, constants, dt, nz):
         val = jnp.einsum("im,cm->ci", npa(statics["TB"][o]), xid_n0)
         val = val - upw_c * jnp.abs(xid_i0) * npa(statics["DDb"][o])
         if o == 0:
-            val = val + curl_coef - upw_c * sgn_xid * ddw0 * cXi * mask
+            # the reference drops the curl-term diagonal entirely
+            val = val - upw_c * sgn_xid * ddw0 * cXi * mask
+            if not ref_jacobian:
+                val = val + curl_coef
         val = val * mask
         if o >= 1:
             last_col = jnp.zeros(nz + 1, dtype).at[nz - o].set(1.0)
@@ -755,13 +775,18 @@ def assemble_bands_analytic(x0, aux, g, statics, constants, dt, nz):
 
 def vertical_implicit(state, geom, constants, dt, newton_iters: int = 1,
                       solver: str = "dense", q: int = 4,
-                      band_statics=None):
+                      band_statics=None, ref_jacobian: bool = False):
     """Batched HEVI implicit column update of (Rt, W, Rho).
 
     One Newton step with the AD-exact Jacobian; ``solver`` selects the
     dense per-column LU (robust; tests) or the banded-coloring path
     (TPU fast path; see ``vertical_banded``).  Reference: ``StepImplicit``
     (``VerticalDynamicsFEM.cpp:1230-1464``) with USE_DIRECTSOLVE.
+
+    ``ref_jacobian``: on the banded/pallas path, assemble the reference's
+    approximate Jacobian entry-for-entry instead of the exact one (see
+    :func:`assemble_bands_analytic`) — single-Newton solves then match
+    the reference's bit-for-bit, the long-horizon parity mode.
     """
     nz = geom.nz
     x0, aux, gmats, (P, A, B) = _implicit_aux(state, geom)
@@ -784,7 +809,8 @@ def vertical_implicit(state, geom, constants, dt, newton_iters: int = 1,
         if band_statics is not None:
             def bands_fn(xx):
                 return assemble_bands_analytic(
-                    xx, aux, gmats, band_statics, constants, dt, nz)
+                    xx, aux, gmats, band_statics, constants, dt, nz,
+                    ref_jacobian=ref_jacobian)
 
         for _ in range(newton_iters):
             x = vb.banded_newton_update(batched_resid, x, q, nz,

@@ -113,7 +113,8 @@ def make_imex_step(cfg: ModelConfig, geom, dss_state: Callable,
     def implicit(u, dti):
         return nonhydro.vertical_implicit(
             u, geom, constants, dti, newton_iters=cfg.newton_iterations,
-            solver=cfg.vertical_solver, q=q, band_statics=band_statics)
+            solver=cfg.vertical_solver, q=q, band_statics=band_statics,
+                ref_jacobian=(cfg.jacobian_mode == "reference"))
 
     @jax.jit
     def step(state):
@@ -180,7 +181,8 @@ def _make_gark2_step(cfg: ModelConfig, geom, dss_state: Callable,
     def implicit(u, dti):
         return nonhydro.vertical_implicit(
             u, geom, constants, dti, newton_iters=cfg.newton_iterations,
-            solver=cfg.vertical_solver, q=q, band_statics=band_statics)
+            solver=cfg.vertical_solver, q=q, band_statics=band_statics,
+                ref_jacobian=(cfg.jacobian_mode == "reference"))
 
     @jax.jit
     def step(u0):

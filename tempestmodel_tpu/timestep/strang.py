@@ -73,7 +73,8 @@ def make_strang_step(cfg: ModelConfig, geom, dss_state: Callable,
         def core(st, gm):
             return nonhydro.vertical_implicit(
                 st, gm, constants, dti, newton_iters=cfg.newton_iterations,
-                solver=cfg.vertical_solver, q=q, band_statics=band_statics)
+                solver=cfg.vertical_solver, q=q, band_statics=band_statics,
+                ref_jacobian=(cfg.jacobian_mode == "reference"))
         if mesh is not None:
             from ..parallel.dss_shardmap import wrap_columnwise
             out = wrap_columnwise(core, mesh, geom)(s)
