@@ -94,6 +94,8 @@ class TimestepSchemeType(enum.Enum):
     STRANG = "strang"
     ERK = "erk"          # pure explicit (for --explicitvertical)
     SPEX = "spex"        # split-explicit acoustic substepping
+    HS = "hs"            # HighSpeedDynamics: momentum-form acoustic
+    #                    # implicit (--hmethod hs + ARS343b driver)
     ARS222 = "ars222"
     ARS232 = "ars232"
     ARK232 = "ark232"

@@ -99,8 +99,13 @@ def make_sphere_dss(geom, mesh=None) -> Callable:
         from ..parallel.dss_shardmap import make_sphere_dss_shardmap
         dss_s, dss_v = make_sphere_dss_shardmap(geom, mesh)
     else:
-        dss_s = lambda f: sphere_dss.apply_dss_scalar(f, geom)
-        dss_v = lambda u, v: sphere_dss.apply_dss_vector(u, v, geom)
+        # single-device path: the scatter-free gather formulation
+        # (dss_gather.py) — same operator to roundoff, none of the
+        # dynamic-update-slice traffic of the slice/scatter version
+        from ..parallel import dss_gather
+        tab = dss_gather.build_dss_tables(geom)
+        dss_s = lambda f: dss_gather.dss_scalar_gather(f, tab)
+        dss_v = lambda u, v: dss_gather.dss_vector_gather(u, v, tab)
 
     def dss_state(s):
         out = dict(s)
@@ -129,6 +134,9 @@ def make_nh_step(cfg: ModelConfig, geom, ref_state=None, mesh=None):
     if cfg.timescheme == TimestepSchemeType.SPEX:
         from .split_explicit import make_spex_step
         return make_spex_step(cfg, geom, dss_state, ref_state)
+    if cfg.timescheme == TimestepSchemeType.HS:
+        from .highspeed import make_hs_step
+        return make_hs_step(cfg, geom, dss_state, ref_state)
     return make_strang_step(cfg, geom, dss_state, ref_state, mesh=mesh)
 
 

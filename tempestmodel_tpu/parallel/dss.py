@@ -94,15 +94,21 @@ def apply_dss_scalar(f, geom: CubedSphereGeometry):
     return out * w.reshape(w.shape + (1,) * (f.ndim - 3))
 
 
-def apply_dss_vector(fu, fv, geom: CubedSphereGeometry):
+def apply_dss_vector(fu, fv, geom: CubedSphereGeometry, mats=None):
     """DSS of a covariant vector field pair (U_alpha, U_beta).
 
     Neighbor-panel contributions are rotated into the local covariant basis
     with the precomputed per-edge-node 2x2 matrices (the analog of
     ``TransformHaloVelocities``, ``GridPatchCSGLL.cpp:1783+``, derived there
     from ``CubedSphereTrans::CoVecPanelTrans``).
+
+    ``mats``: override the (6, 4, A, 2, 2) edge transform set — used by
+    the HighSpeedDynamics momentum DSS, whose CONTRAVARIANT components
+    transform with the inverse-transpose matrices.
     """
     ne, p = geom.ne, geom.p
+    if mats is None:
+        mats = geom.edge_mats
     su = _pair_sum_interior(fu, ne, p)
     sv = _pair_sum_interior(fv, ne, p)
     gathered = []
@@ -111,7 +117,7 @@ def apply_dss_vector(fu, fv, geom: CubedSphereGeometry):
         lv = _get_edge(sv, qa, qe)
         if flip:
             lu, lv = lu[::-1], lv[::-1]
-        M = geom.edge_mats[pa, e]       # (A, 2, 2)
+        M = mats[pa, e]                 # (A, 2, 2)
         shape_extra = (1,) * (lu.ndim - 1)
         m00 = M[:, 0, 0].reshape(M.shape[0], *shape_extra)
         m01 = M[:, 0, 1].reshape(M.shape[0], *shape_extra)
