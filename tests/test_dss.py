@@ -107,3 +107,38 @@ def test_dss_level_stack(geom):
         ref = dss.apply_dss_scalar(f[..., k], geom)
         np.testing.assert_allclose(np.asarray(out[..., k]), np.asarray(ref),
                                    atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# gather-formulated DSS (parallel/dss_gather.py): must equal the
+# scatter DSS to roundoff — scalars, covariant vectors, contravariant
+# momenta (HighSpeedDynamics path)
+# ---------------------------------------------------------------------------
+
+def test_gather_dss_equals_scatter_dss(geom):
+    from tempestmodel_tpu.parallel import dss_gather
+    rng = np.random.default_rng(7)
+    A = geom.ne * geom.p
+    tab = dss_gather.build_dss_tables(geom)
+    # multiplicity table must reproduce the geometry's inv_mult
+    mult = 1.0 / np.asarray(tab.ws[:, 0]).reshape(6, A, A)
+    np.testing.assert_allclose(mult, 1.0 / np.asarray(geom.inv_mult),
+                               atol=0.0)
+    f = jnp.asarray(rng.normal(size=(6, A, A, 5)))
+    np.testing.assert_allclose(
+        np.asarray(dss_gather.dss_scalar_gather(f, tab)),
+        np.asarray(dss.apply_dss_scalar(f, geom)), atol=1e-14)
+    u = jnp.asarray(rng.normal(size=(6, A, A, 5)))
+    v = jnp.asarray(rng.normal(size=(6, A, A, 5)))
+    un, vn = dss_gather.dss_vector_gather(u, v, tab)
+    uo, vo = dss.apply_dss_vector(u, v, geom)
+    np.testing.assert_allclose(np.asarray(un), np.asarray(uo), atol=1e-13)
+    np.testing.assert_allclose(np.asarray(vn), np.asarray(vo), atol=1e-13)
+    # contravariant table vs inverse-transpose edge matrices
+    wvc = dss_gather.build_contra_wv(geom)
+    contra = jnp.asarray(np.swapaxes(
+        np.linalg.inv(np.asarray(geom.edge_mats)), -1, -2))
+    un2, vn2 = dss_gather.dss_vector_gather(u, v, tab, wv=wvc)
+    uo2, vo2 = dss.apply_dss_vector(u, v, geom, mats=contra)
+    np.testing.assert_allclose(np.asarray(un2), np.asarray(uo2), atol=1e-13)
+    np.testing.assert_allclose(np.asarray(vn2), np.asarray(vo2), atol=1e-13)
