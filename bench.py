@@ -99,17 +99,25 @@ def main():
     state = tc.initial_state(geom, cfg.constants, dtype=jnp.float32)
     constants = cfg.constants
 
-    first_step, multi = nh_model.make_nh_multistep(cfg, geom, inner)
+    first_step, step1 = nh_model.make_nh_step(cfg, geom)
 
-    # AOT-compile the scan once; reuse the executable for timing AND
-    # cost analysis (avoids a duplicate trace+compile).
+    # Timed region: a python loop of async step dispatches (per-call
+    # latency pipelines away) — the SAME methodology as the recorded
+    # round-1 baseline.  A lax.scan multistep was measured ~20% SLOWER
+    # on v5e (the while-loop carry adds copy + dynamic-update-slice
+    # traffic; see make_nh_multistep for the scan path).
     state, carry = first_step(state)
-    multi_c = multi.lower(state, carry).compile()
-    s, c = multi_c(state, carry)
-    jax.block_until_ready(s)
+    s, c = step1(state, carry)
+    jax.block_until_ready(s["Rho"])
 
-    t_multi = _timeit(multi_c, state, carry, reps=1, outer=4)
-    per_step = t_multi / inner
+    per_step = float("inf")
+    for _ in range(4):
+        t0 = time.perf_counter()
+        s, c = state, carry
+        for _ in range(inner):
+            s, c = step1(s, c)
+        jax.block_until_ready(s["Rho"])
+        per_step = min(per_step, (time.perf_counter() - t0) / inner)
 
     npts = 6 * (ne * 4) ** 2 * nz
     gps = npts / per_step
@@ -119,9 +127,6 @@ def main():
     peak_flops, peak_bw = PEAKS.get(
         dev_kind, PEAKS.get(jax.default_backend(), (197e12, 819e9)))
 
-    # XLA cost analysis counts a scan (while-loop) body ONCE regardless
-    # of trip count, so analyze a single compiled step for per-step cost.
-    _, step1 = nh_model.make_nh_step(cfg, geom)
     flops, bytes_ub = _cost(step1.lower(state, carry).compile())
 
     # lower bound on HBM traffic: full prognostic state read+written once

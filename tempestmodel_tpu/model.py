@@ -206,6 +206,64 @@ class Model:
         return self.state
 
     # ------------------------------------------------------------------
+    def profile_phases(self, reps: int = 5):
+        """Per-phase timing in the reference FunctionTimer taxonomy.
+
+        The reference accumulates ``FunctionTimer("HorizontalStep")`` etc.
+        inside the step (``Model.cpp:520-689``); under ``jit`` the step is
+        ONE fused XLA program, so the TPU-native analog compiles each
+        phase standalone and times it.  Standalone timings over-count
+        fusion boundaries relative to the fused step — use them to RANK
+        phases, not as absolute accounting.  Returns {phase: ms}.
+        """
+        import time as _time
+        import jax as _jax
+        from .models import nonhydro, hyperdiff, nh_model
+        cfg = self.cfg
+        geom = self.geom
+        if cfg.equation_set == EquationSet.SHALLOW_WATER:
+            raise ValueError("phase profile targets the nonhydro step")
+        constants = cfg.constants
+        if cfg.grid_kind == GridKind.CUBED_SPHERE:
+            dss_state = nh_model.make_sphere_dss(geom)
+        else:
+            dss_state = nh_model.make_cartesian_dss(geom)
+        solver = cfg.vertical_solver
+        from .config import VerticalStaggering
+        if (solver in ("banded", "pallas")
+                and cfg.vertical_staggering == VerticalStaggering.LORENZ):
+            q = nonhydro.estimate_bandwidth(geom, constants)
+            statics = nonhydro.band_assembly_statics(geom, q)
+        else:
+            q, statics = 0, None
+        phases = {
+            "HorizontalStep": _jax.jit(
+                lambda s: nonhydro.horizontal_tendency(s, geom, constants)),
+            "VerticalStepExplicit": _jax.jit(
+                lambda s: nonhydro.vertical_explicit_increment(
+                    s, geom, cfg.dt)),
+            "VerticalStepImplicit": _jax.jit(
+                lambda s: nonhydro.vertical_implicit(
+                    s, geom, constants, 0.5 * cfg.dt,
+                    newton_iters=cfg.newton_iterations, solver=solver,
+                    q=q, band_statics=statics)),
+            "Communicate": _jax.jit(dss_state),
+            "StepAfterSubCycle": _jax.jit(
+                lambda s: hyperdiff.step_after_subcycle_nh(
+                    s, cfg.dt, cfg, geom, dss_state, self.reference)),
+        }
+        out = {}
+        for name, fn in phases.items():
+            r = fn(self.state)
+            _jax.block_until_ready(r)
+            t0 = _time.perf_counter()
+            for _ in range(reps):
+                r = fn(self.state)
+            _jax.block_until_ready(r)
+            out[name] = (_time.perf_counter() - t0) / reps * 1e3
+        return out
+
+    # ------------------------------------------------------------------
     def compute_error_norms(self, reference=None):
         """L1/L2/Linf error vs the test case reference state."""
         ref = reference if reference is not None else self.reference

@@ -343,20 +343,20 @@ def make_momentum_dss(geom) -> Callable:
         return dss_cart
 
     assert isinstance(geom, CubedSphereGeometry)
-    from ..parallel import dss_gather
+    from ..parallel.dss import apply_dss_scalar, apply_dss_vector
 
-    tab = dss_gather.build_dss_tables(geom)
-    wv_contra = dss_gather.build_contra_wv(geom)
+    cov = np.asarray(geom.edge_mats)
+    contra = jnp.asarray(np.swapaxes(np.linalg.inv(cov), -1, -2),
+                         dtype=jnp.asarray(geom.jac2d).dtype)
 
     def dss_sphere(m):
-        mu, mv = dss_gather.dss_vector_gather(
-            m["MU"], m["MV"], tab, wv=wv_contra)
+        mu, mv = apply_dss_vector(m["MU"], m["MV"], geom, mats=contra)
         return {
             "MU": mu,
             "MV": mv,
-            "Rt": dss_gather.dss_scalar_gather(m["Rt"], tab),
-            "Rho": dss_gather.dss_scalar_gather(m["Rho"], tab),
-            "MW": dss_gather.dss_scalar_gather(m["MW"], tab),
+            "Rt": apply_dss_scalar(m["Rt"], geom),
+            "Rho": apply_dss_scalar(m["Rho"], geom),
+            "MW": apply_dss_scalar(m["MW"], geom),
         }
 
     return dss_sphere

@@ -184,9 +184,13 @@ def step_after_subcycle_nh(state, dt, cfg, geom, dss_state: Callable,
 
     def scalar_parts(s, sign_dt, nus):
         out = {}
-        out["Rt"] = sign_dt * nus * scalar_laplacian(s["Rt"], geom, geom.jac3d)
-        out["W"] = sign_dt * nus * scalar_laplacian(s["W"], geom,
-                                                    geom.jac3d_int)
+        jac_rt = (geom.jac3d_int
+                  if s["Rt"].shape[-1] == s["W"].shape[-1] else geom.jac3d)
+        out["Rt"] = sign_dt * nus * scalar_laplacian(s["Rt"], geom, jac_rt)
+        jac_w = (geom.jac3d
+                 if s["W"].shape[-1] == s["Rho"].shape[-1]
+                 else geom.jac3d_int)
+        out["W"] = sign_dt * nus * scalar_laplacian(s["W"], geom, jac_w)
         out["Rho"] = sign_dt * nus * scalar_laplacian(s["Rho"], geom,
                                                       geom.jac3d)
         if "Tracers" in s:

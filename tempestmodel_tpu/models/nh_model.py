@@ -99,13 +99,12 @@ def make_sphere_dss(geom, mesh=None) -> Callable:
         from ..parallel.dss_shardmap import make_sphere_dss_shardmap
         dss_s, dss_v = make_sphere_dss_shardmap(geom, mesh)
     else:
-        # single-device path: the scatter-free gather formulation
-        # (dss_gather.py) — same operator to roundoff, none of the
-        # dynamic-update-slice traffic of the slice/scatter version
-        from ..parallel import dss_gather
-        tab = dss_gather.build_dss_tables(geom)
-        dss_s = lambda f: dss_gather.dss_scalar_gather(f, tab)
-        dss_v = lambda u, v: dss_gather.dss_vector_gather(u, v, tab)
+        # single-device path: the slice/scatter formulation — measured
+        # FASTEST of four TPU formulations at ne30 L30 (full-step
+        # ms/step: 43.6 scatter / 49.3 combined-scatter / 69.6
+        # row-gather / 126.5 concat; see parallel/dss_gather.py)
+        dss_s = lambda f: sphere_dss.apply_dss_scalar(f, geom)
+        dss_v = lambda u, v: sphere_dss.apply_dss_vector(u, v, geom)
 
     def dss_state(s):
         out = dict(s)

@@ -109,12 +109,15 @@ def horizontal_tendency(state, geom, constants):
 
     u, v = state["U"], state["V"]
     rt, w, rho = state["Rt"], state["W"], state["Rho"]
+    stagger = infer_stagger(state, geom.nz)
+    cph = stagger == "CPH"
+    rt_n = colop(geom.interp_i2n, rt) if cph else rt
 
-    w_n = colop(geom.interp_i2n, w)
+    w_n = w if stagger == "LEV" else colop(geom.interp_i2n, w)
 
     con_ua, con_ub, con_ux = contravariant_on_levels(geom, u, v, w_n)
     ke = 0.5 * (con_ua * u + con_ub * v + con_ux * w_n)
-    exner = exner_from_rhotheta(rt, constants)
+    exner = exner_from_rhotheta(rt_n, constants)
 
     # vertical derivatives of the covariant horizontal velocity
     du_dxi = colop(geom.diff_n2n, u)
@@ -140,13 +143,27 @@ def horizontal_tendency(state, geom, constants):
     base_b = geom.jac3d * con_ub
     div_rho = sem.weak_div(base_a * rho, base_b * rho, S,
                            nea, neb, p, da, db)
-    div_rt = sem.weak_div(base_a * rt, base_b * rt, S,
-                          nea, neb, p, da, db)
+    if cph:
+        # CPH: RhoTheta advects on interfaces (GetVarLocation(PIx) ==
+        # DataLocation_REdge branch, HorizontalDynamicsFEM.cpp:1664+)
+        u_i = colop(geom.interp_n2i, u)
+        v_i = colop(geom.interp_n2i, v)
+        c2 = geom.con2d
+        con_ua_i = (c2[..., 0, 0, None] * u_i + c2[..., 0, 1, None] * v_i
+                    + geom.con_a_xi_int * w)
+        con_ub_i = (c2[..., 1, 0, None] * u_i + c2[..., 1, 1, None] * v_i
+                    + geom.con_b_xi_int * w)
+        div_rt = sem.weak_div(geom.jac3d_int * con_ua_i * rt,
+                              geom.jac3d_int * con_ub_i * rt, S,
+                              nea, neb, p, da, db)
+    else:
+        div_rt = sem.weak_div(base_a * rt, base_b * rt, S,
+                              nea, neb, p, da, db)
 
     dke_a, dke_b = sem.deriv_both(ke, D, nea, neb, p, da, db)
     dpi_a, dpi_b = sem.deriv_both(exner, D, nea, neb, p, da, db)
 
-    theta = rt / rho
+    theta = rt_n / rho
     fj = (geom.coriolis * geom.jac2d)[..., None]
 
     dU = (ucz_a + fj * con_ub
@@ -160,10 +177,11 @@ def horizontal_tendency(state, geom, constants):
                  + constants.g * geom.deriv_r[..., 1]))
 
     dRho = -div_rho / geom.jac3d
-    dRt = -div_rt / geom.jac3d
+    dRt = -div_rt / (geom.jac3d_int if cph else geom.jac3d)
 
-    # W on interior interfaces: interpolate U x zeta (xi component)
-    dW = colop(geom.interp_n2i, ucz_x)
+    # W on interior interfaces: interpolate U x zeta (xi component);
+    # LEV keeps W on levels (HorizontalDynamicsFEM.cpp:1612 node branch)
+    dW = ucz_x if stagger == "LEV" else colop(geom.interp_n2i, ucz_x)
     dW = dW.at[..., 0].set(0.0).at[..., -1].set(0.0)
 
     out = {"U": dU, "V": dV, "Rt": dRt, "W": dW, "Rho": dRho}
@@ -185,7 +203,10 @@ def vertical_explicit_increment(state, geom, dt):
     """
     u_i = colop(geom.interp_n2i, state["U"])
     v_i = colop(geom.interp_n2i, state["V"])
-    xid = xidot_interfaces(geom, u_i, v_i, state["W"])
+    w = state["W"]
+    if w.shape[-1] == geom.nz:                       # LEV: W on levels
+        w = colop(geom.interp_n2i, w)
+    xid = xidot_interfaces(geom, u_i, v_i, w)
     return {
         "U": dt * penalty_apply(geom, state["U"], xid),
         "V": dt * penalty_apply(geom, state["V"], xid),
@@ -201,18 +222,23 @@ def vertical_explicit_tendency(state, geom, constants):
     tendency is -F.
     """
     nz = geom.nz
+    stagger = infer_stagger(state, nz)
     x0, aux, gmats, (P, A, B) = _implicit_aux(state, geom)
 
     def resid(x, a):
         # dt=inf removes the (x - x0)/dt time term
-        return _column_residual(x, a, gmats, constants, jnp.inf, nz)
+        fn = {"CPH": _column_residual_cph,
+              "LEV": _column_residual_lev,
+              "LOR": _column_residual}[stagger]
+        return fn(x, a, gmats, constants, jnp.inf, nz)
 
     f = jax.vmap(resid)(x0, aux)
-    n = nz
+    n = nz + 1 if stagger == "CPH" else nz
+    n_w = nz if stagger == "LEV" else nz + 1
     return {
-        "Rt": -f[:, :n].reshape(P, A, B, nz),
-        "W": -f[:, n:2 * n + 1].reshape(P, A, B, nz + 1),
-        "Rho": -f[:, 2 * n + 1:].reshape(P, A, B, nz),
+        "Rt": -f[:, :n].reshape(P, A, B, n),
+        "W": -f[:, n:n + n_w].reshape(P, A, B, n_w),
+        "Rho": -f[:, n + n_w:].reshape(P, A, B, nz),
     }
 
 
@@ -224,6 +250,11 @@ def apply_w_boundary(state, geom):
     from the (updated) horizontal velocity so the contravariant vertical
     velocity vanishes at the terrain.
     """
+    if state["W"].shape[-1] == geom.nz:              # LEV: W on levels
+        w0 = -(geom.con_a_xi[..., 0] * state["U"][..., 0]
+               + geom.con_b_xi[..., 0] * state["V"][..., 0]) \
+            / geom.con_xi_xi[..., 0]
+        return dict(state, W=state["W"].at[..., 0].set(w0))
     u0 = colop(geom.interp_n2i[0:1], state["U"])[..., 0]
     v0 = colop(geom.interp_n2i[0:1], state["V"])[..., 0]
     w0 = -(geom.con_a_xi_int[..., 0] * u0
@@ -314,6 +345,159 @@ def _column_residual(x, aux, geom_mats, constants, dt, nz):
     return f + (x - aux["x0"]) / dt
 
 
+def _column_residual_cph(x, aux, geom_mats, constants, dt, nz):
+    """Charney-Phillips column residual: Rt AND W on interfaces.
+
+    ``x``: flat vector [Rt (nz+1), W (nz+1), Rho (nz)].  Reference:
+    ``BuildF`` with ``GetVarLocation(PIx) == DataLocation_REdge``
+    (``VerticalDynamicsFEM.cpp:2299-2620``, staggering table
+    ``Grid.cpp:289-295``).  The Exner gradient is differentiated
+    interface-to-interface (native), the RhoTheta flux divergence is
+    conservative on interfaces, and Rt upwinding uses the interface
+    second-derivative damping (the reference's REdge diffdiff operator,
+    ``VerticalDynamicsFEM.cpp:1717+``) since the level penalty operator
+    does not apply to interface fields.
+    """
+    g = geom_mats
+    rt = x[:nz + 1]
+    w = x[nz + 1:2 * nz + 2]
+    rho = x[2 * nz + 2:]
+
+    u_n, v_n = aux["u_n"], aux["v_n"]
+    u_i, v_i = aux["u_i"], aux["v_i"]
+
+    w_n = g["interp_i2n"] @ w
+    rho_i = g["interp_n2i"] @ rho
+
+    exner_i = exner_from_rhotheta(rt, constants)
+    dpi_i = g["diff_i2i"] @ exner_i
+
+    xid_n = (aux["con_a_xi"] * u_n + aux["con_b_xi"] * v_n
+             + aux["con_xi_xi"] * w_n)
+    xid_i = (aux["con_a_xi_int"] * u_i + aux["con_b_xi_int"] * v_i
+             + aux["con_xi_xi_int"] * w)
+    xid_i = xid_i.at[0].set(0.0).at[-1].set(0.0)
+
+    mf_i = aux["jac_int"] * rho_i * xid_i
+    mf_i = mf_i.at[0].set(0.0).at[-1].set(0.0)
+    f_rho = (g["diff_i2n"] @ mf_i) / aux["jac"]
+
+    # conservative RhoTheta flux divergence on interfaces
+    pf_i = aux["jac_int"] * rt * xid_i
+    f_rt = (g["diff_i2i"] @ pf_i) / aux["jac_int"]
+
+    con_ua_n = (aux["con2d_aa"] * u_n + aux["con2d_ab"] * v_n
+                + aux["con_a_xi"] * w_n)
+    con_ub_n = (aux["con2d_ab"] * u_n + aux["con2d_bb"] * v_n
+                + aux["con_b_xi"] * w_n)
+    ke_n = 0.5 * (con_ua_n * u_n + con_ub_n * v_n + xid_n * w_n)
+    dke_i = g["diff_n2i"] @ ke_n
+
+    con_ua_i = (aux["con2d_aa_i"] * u_i + aux["con2d_ab_i"] * v_i
+                + aux["con_a_xi_int"] * w)
+    con_ub_i = (aux["con2d_ab_i"] * u_i + aux["con2d_bb_i"] * v_i
+                + aux["con_b_xi_int"] * w)
+    curl = -con_ua_i * aux["du_i"] - con_ub_i * aux["dv_i"]
+
+    pgf = dpi_i * rt / rho_i
+    f_w = pgf + constants.g * aux["deriv_r_int"] + dke_i + curl
+    f_w = f_w.at[0].set(0.0).at[-1].set(0.0)
+
+    if g["penalty_left"] is not None and nz // g["vo"] > 1:
+        wb = jnp.abs(xid_i[g["vo"]:nz:g["vo"]])
+        wl = g["wscat_left"] @ wb
+        wr = g["wscat_right"] @ wb
+        f_rho = f_rho - (g["penalty_left"] @ rho) * wl \
+                      - (g["penalty_right"] @ rho) * wr
+    upwind_coeff = 0.5 / nz
+    ddw = g["diffdiff_i2i"] @ w
+    ddw = ddw.at[0].set(0.0).at[-1].set(0.0)
+    f_w = f_w - upwind_coeff * jnp.abs(xid_i) * ddw
+    f_w = f_w.at[0].set(0.0).at[-1].set(0.0)
+    ddrt = g["diffdiff_i2i"] @ rt
+    f_rt = f_rt - upwind_coeff * jnp.abs(xid_i) * ddrt
+
+    f = jnp.concatenate([f_rt, f_w, f_rho])
+    return f + (x - aux["x0"]) / dt
+
+
+def _column_residual_lev(x, aux, geom_mats, constants, dt, nz):
+    """LEV-staggered column residual: ALL variables on model levels.
+
+    ``x``: flat vector [Rt (nz), W (nz), Rho (nz)].  Reference: ``BuildF``
+    with ``GetVarLocation(WIx) == DataLocation_Node`` (mass flux on
+    levels, ``VerticalDynamicsFEM.cpp:2230-2243``; W update on interior
+    nodes only, ``:2470-2500``).  W at the boundary levels is held by
+    the zero rows (the reference's loop runs k = 1..nRElements-2).
+    """
+    g = geom_mats
+    rt = x[:nz]
+    w = x[nz:2 * nz]
+    rho = x[2 * nz:]
+
+    u_n, v_n = aux["u_n"], aux["v_n"]
+
+    exner_n = exner_from_rhotheta(rt, constants)
+    dpi_n = g["diff_n2n"] @ exner_n
+
+    xid_n = (aux["con_a_xi"] * u_n + aux["con_b_xi"] * v_n
+             + aux["con_xi_xi"] * w)
+
+    mf_n = aux["jac"] * rho * xid_n
+    f_rho = (g["diff_n2n"] @ mf_n) / aux["jac"]
+    pf_n = aux["jac"] * rt * xid_n
+    f_rt = (g["diff_n2n"] @ pf_n) / aux["jac"]
+
+    con_ua_n = (aux["con2d_aa"] * u_n + aux["con2d_ab"] * v_n
+                + aux["con_a_xi"] * w)
+    con_ub_n = (aux["con2d_ab"] * u_n + aux["con2d_bb"] * v_n
+                + aux["con_b_xi"] * w)
+    ke_n = 0.5 * (con_ua_n * u_n + con_ub_n * v_n + xid_n * w)
+    dke_n = g["diff_n2n"] @ ke_n
+    curl = -con_ua_n * aux["du_n"] - con_ub_n * aux["dv_n"]
+
+    pgf = dpi_n * rt / rho
+    f_w = pgf + constants.g * aux["deriv_r_n"] + dke_n + curl
+    # W on the boundary levels is carried by the horizontal dynamics /
+    # boundary condition; zero residual rows hold it at x0
+    f_w = f_w.at[0].set(0.0).at[-1].set(0.0)
+
+    if g["penalty_left"] is not None and nz // g["vo"] > 1:
+        xid_i = aux["con_xi_xi_int"] * (g["interp_n2i"] @ w) \
+            + aux["con_a_xi_int"] * aux["u_i"] \
+            + aux["con_b_xi_int"] * aux["v_i"]
+        wb = jnp.abs(xid_i[g["vo"]:nz:g["vo"]])
+        wl = g["wscat_left"] @ wb
+        wr = g["wscat_right"] @ wb
+        f_rt = f_rt - (g["penalty_left"] @ rt) * wl \
+                    - (g["penalty_right"] @ rt) * wr
+        f_rho = f_rho - (g["penalty_left"] @ rho) * wl \
+                      - (g["penalty_right"] @ rho) * wr
+        f_w = f_w - (g["penalty_left"] @ w) * wl \
+                  - (g["penalty_right"] @ w) * wr
+        f_w = f_w.at[0].set(0.0).at[-1].set(0.0)
+
+    f = jnp.concatenate([f_rt, f_w, f_rho])
+    return f + (x - aux["x0"]) / dt
+
+
+def infer_stagger(state, nz: int) -> str:
+    """Staggering from state shapes: LOR (default), CPH, or LEV."""
+    n_rt = state["Rt"].shape[-1]
+    n_w = state["W"].shape[-1]
+    if n_w == nz:
+        return "LEV"
+    if n_rt == nz + 1:
+        return "CPH"
+    return "LOR"
+
+
+def is_cph_state(state) -> bool:
+    """Charney-Phillips if Rt lives on interfaces (same length as W)."""
+    return (state["Rt"].shape[-1] == state["W"].shape[-1]
+            and state["Rt"].shape[-1] > state["Rho"].shape[-1])
+
+
 def _implicit_aux(state, geom):
     """Flattened per-column fixed inputs + initial vector for the solve."""
     nz = geom.nz
@@ -326,6 +510,8 @@ def _implicit_aux(state, geom):
     v_i = colop(geom.interp_n2i, v)
     du_i = colop(geom.diff_n2i, u)
     dv_i = colop(geom.diff_n2i, v)
+    du_n = colop(geom.diff_n2n, u)
+    dv_n = colop(geom.diff_n2n, v)
 
     def flat(f):
         return f.reshape(ncol, f.shape[-1])
@@ -336,6 +522,8 @@ def _implicit_aux(state, geom):
         "u_n": flat(u), "v_n": flat(v),
         "u_i": flat(u_i), "v_i": flat(v_i),
         "du_i": flat(du_i), "dv_i": flat(dv_i),
+        "du_n": flat(du_n), "dv_n": flat(dv_n),
+        "deriv_r_n": flat(geom.deriv_r[..., 2]),
         "con_a_xi": flat(geom.con_a_xi), "con_b_xi": flat(geom.con_b_xi),
         "con_xi_xi": flat(geom.con_xi_xi),
         "con_a_xi_int": flat(geom.con_a_xi_int),
@@ -364,6 +552,7 @@ def _implicit_aux(state, geom):
     gmats = {
         "interp_n2i": geom.interp_n2i, "interp_i2n": geom.interp_i2n,
         "diff_n2i": geom.diff_n2i, "diff_i2n": geom.diff_i2n,
+        "diff_i2i": geom.diff_i2i, "diff_n2n": geom.diff_n2n,
         "diffdiff_i2i": geom.diffdiff_i2i,
         "penalty_left": geom.penalty_left,
         "penalty_right": geom.penalty_right,
@@ -789,10 +978,24 @@ def vertical_implicit(state, geom, constants, dt, newton_iters: int = 1,
     the reference's bit-for-bit, the long-horizon parity mode.
     """
     nz = geom.nz
+    stagger = infer_stagger(state, nz)
     x0, aux, gmats, (P, A, B) = _implicit_aux(state, geom)
 
-    def resid(x, a):
-        return _column_residual(x, a, gmats, constants, dt, nz)
+    if stagger != "LOR":
+        # the banded interleave permutation and analytic band assembly
+        # are Lorenz layouts; CPH/LEV solve dense (the AD Jacobian is
+        # exact for any residual) — reference parallel:
+        # BuildJacobianF_LOR_* also supports only Lorenz
+        # (VerticalDynamicsFEM.cpp:3065-3067)
+        solver = "dense"
+        fn = (_column_residual_cph if stagger == "CPH"
+              else _column_residual_lev)
+
+        def resid(x, a):
+            return fn(x, a, gmats, constants, dt, nz)
+    else:
+        def resid(x, a):
+            return _column_residual(x, a, gmats, constants, dt, nz)
 
     x = x0
     if solver in ("banded", "pallas"):
@@ -861,10 +1064,11 @@ def vertical_implicit(state, geom, constants, dt, newton_iters: int = 1,
             f"unknown vertical solver {solver!r}: expected 'banded', "
             "'pallas', 'schur', 'jfnk', or 'dense'")
 
-    n = nz
-    rt = x[:, :n].reshape(P, A, B, nz)
-    w = x[:, n:2 * n + 1].reshape(P, A, B, nz + 1)
-    rho = x[:, 2 * n + 1:].reshape(P, A, B, nz)
+    n = nz + 1 if stagger == "CPH" else nz
+    n_w = nz if stagger == "LEV" else nz + 1
+    rt = x[:, :n].reshape(P, A, B, n)
+    w = x[:, n:n + n_w].reshape(P, A, B, n_w)
+    rho = x[:, n + n_w:].reshape(P, A, B, nz)
     out = dict(state, Rt=rt, W=w, Rho=rho)
 
     if "Tracers" in state:

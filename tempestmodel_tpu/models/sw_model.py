@@ -33,17 +33,14 @@ def build_sw_geometry(cfg: ModelConfig, topography=None) -> CubedSphereGeometry:
 def make_sw_step(cfg: ModelConfig, geom: CubedSphereGeometry) -> Callable:
     """Returns step(state) -> state advancing one dt (jit-compiled)."""
 
-    from ..parallel import dss_gather
-    tab = dss_gather.build_dss_tables(geom)
-
     def dss_state(s):
         out = dict(s)
-        u, v = dss_gather.dss_vector_gather(s["U"], s["V"], tab)
+        u, v = dss_mod.apply_dss_vector(s["U"], s["V"], geom)
         out["U"], out["V"] = u, v
-        out["H"] = dss_gather.dss_scalar_gather(s["H"], tab)
+        out["H"] = dss_mod.apply_dss_scalar(s["H"], geom)
         if "Tracers" in s:
-            out["Tracers"] = dss_gather.dss_scalar_gather(
-                s["Tracers"].transpose(1, 2, 3, 0), tab).transpose(3, 0, 1, 2)
+            out["Tracers"] = dss_mod.apply_dss_scalar(
+                s["Tracers"].transpose(1, 2, 3, 0), geom).transpose(3, 0, 1, 2)
         return out
 
     def stage(base, ueval, dt_s):

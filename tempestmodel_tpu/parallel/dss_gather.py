@@ -1,188 +1,175 @@
-"""Gather-formulated DSS: scatter-free direct stiffness summation.
+"""Scatter-minimal DSS: slice pair-sums + ONE combined edge scatter.
 
-The slice/scatter DSS in ``dss.py`` is algebraically right but lowers to
-~840 full-buffer ``dynamic-update-slice`` ops per model step on TPU
-(measured: ~8.8 GB/step of pure buffer rewriting, ~30% of step time at
-ne30 L30).  TPU-native fix: DSS is a fixed linear operator, so precompute
-the coincident-node table once and evaluate
+The naive slice/scatter DSS in ``dss.py`` is algebraically right but
+lowers to ~840 full-buffer ``dynamic-update-slice`` ops per model step
+on TPU (measured: ~8.8 GB/step of pure buffer rewriting at ne30 L30),
+because every one of the 24 panel edges is a separate ``.at[].add`` on
+a full field.  Three alternative formulations measured WORSE on real
+TPU hardware (full-bench ms/step at ne30 L30 f32): row-gather tables
+(69.6 vs 43.6 — short-row gathers amplify HBM traffic ~30x),
+pure-concatenate reconstruction (126.5 — thin concat pieces), and 0/1
+matmul pair-sums at f32-highest precision (50.3 — 3-pass MXU cost).
 
-    out[n] = sum_k  W[n, k] * f[ idx[n, k] ]          (scalars)
-    out_u[n] = sum_k  (T00 f_u + T01 f_v)[ idx[n, k] ]  (covariant vectors)
+What this module does instead:
 
-with K = 4 slots (max node multiplicity: interior element corners).  The
-apply is K static row-gathers + a weighted sum — no scatters, no
-dynamic-update-slice, fully fusable.
+  1. interior element-boundary pair-sums as 4 static slice updates
+     (as ``dss.py``, XLA handles contiguous-stride updates well);
+  2. all 24 cross-panel edge additions batched into ONE scatter-add
+     with a precomputed flat destination-index vector (corners receive
+     their two neighbor-panel copies through duplicate indices, which
+     scatter-add accumulates) — one buffer pass instead of 24 separate
+     ``.at[edge].add`` rewrites;
+  3. a fused multiply by 1/multiplicity.
 
-The table is built numerically: nodes are grouped by their unit-sphere
-position (coincident copies agree to ~1e-15; GLL spacing is >=1e-5 rad),
-and the per-copy covariant transforms are the exact chain rule through
-the sphere basis (same construction as ``geometry._edge_cov_transforms``,
-generalized from edge lines to arbitrary coincident pairs).  Equality
-with the reference-validated ``dss.apply_dss_*`` is tested to roundoff
-(``tests/test_dss.py``).
+OUTCOME: even this variant measured 49.3 ms/step vs 43.6 for the naive
+scatter DSS — XLA's in-context handling of the 24 static edge updates
+beats the general scatter path on v5e.  The model therefore KEEPS
+``dss.py`` on the hot path; this module is retained as the documented
+record of the exploration, and its roundoff-equality tests
+(``tests/test_dss.py``) double as an independent spec of the DSS
+operator (corner accumulation included).
+
+Vector pairs transform with the per-edge 2x2 covariant matrices applied
+to the thin gathered lines; contravariant momenta (HighSpeedDynamics)
+use the inverse-transpose set.
 
 Reference: ``GridCSGLL::ApplyDSS`` (``src/atm/GridCSGLL.cpp:435-780``).
 """
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 from typing import Any
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
-from ..grid import cubed_sphere as cst
+from ..grid.geometry import (EDGE_LEFT, EDGE_RIGHT, EDGE_BOTTOM, EDGE_TOP)
 
 
 @dataclass(frozen=True)
 class DSSTables:
-    idx: Any    # (N, K) int32 flat source node per slot; slot 0 = self
-    ws: Any     # (N, K) scalar weights (1/multiplicity; 0 on pad slots)
-    wv: Any     # (N, K, 2, 2) covariant-transform weights
+    ne: int
+    p: int
+    dst: Any             # (24*A,) flat destination node ids, edge order
+    src_meta: Any        # tuple of 24 (qa, qe, flip) line sources
+    mats: Any            # (24, A, 2, 2) covariant line transforms
+    mats_contra: Any     # same, inverse-transpose (momentum DSS)
+    inv_mult: Any        # (6, A, B)
     A: int
 
 
-@functools.lru_cache(maxsize=8)
-def _build_tables_np(ne: int, p: int):
-    from ..grid.geometry import gll_axis
-    A = ne * p
-    N = 6 * A * A
-    alpha, _ = gll_axis(ne, p)
-    X = np.tan(alpha)
-    xx, yy = np.meshgrid(X, X, indexing="ij")
-
-    xyz = np.zeros((6, A, A, 3))
-    for pa in range(6):
-        xyz[pa] = np.stack(cst.xyz_from_xyp(xx, yy, pa), axis=-1)
-    key = np.round(xyz.reshape(N, 3), 10)
-
-    _, inverse, counts = np.unique(
-        key, axis=0, return_inverse=True, return_counts=True)
-    inverse = inverse.ravel()
-    K = int(counts.max())
-    assert K <= 4, K
-
-    order = np.argsort(inverse, kind="stable")
-    starts = np.zeros(len(counts) + 1, dtype=np.int64)
-    np.cumsum(counts, out=starts[1:])
-
-    idx = np.tile(np.arange(N, dtype=np.int64)[:, None], (1, K))
-    ws = np.zeros((N, K))
-    mult = counts[inverse].astype(np.float64)
-    ws[:, 0] = 1.0 / mult
-    # fill slots 1.. with the other group members
-    for n_ in range(N):
-        g = inverse[n_]
-        members = order[starts[g]:starts[g + 1]]
-        slot = 1
-        for m in members:
-            if m == n_:
-                continue
-            idx[n_, slot] = m
-            ws[n_, slot] = 1.0 / mult[n_]
-            slot += 1
-
-    # --- covariant vector transforms per slot --------------------------
-    # same panel (incl. self): identity; cross panel: chain rule through
-    # the sphere basis at the shared physical point.
-    wv = np.zeros((N, K, 2, 2))
-    wv[:, :, 0, 0] = ws
-    wv[:, :, 1, 1] = ws
-
-    panel_of = idx // (A * A)
-    self_panel = np.arange(N) // (A * A)
-    Xn = np.broadcast_to(xx, (6, A, A)).reshape(N)
-    Yn = np.broadcast_to(yy, (6, A, A)).reshape(N)
-
-    for pn in range(6):
-        for qm in range(6):
-            if pn == qm:
-                continue
-            sel = np.nonzero((self_panel[:, None] == pn)
-                             & (panel_of == qm) & (ws > 0))
-            if len(sel[0]) == 0:
-                continue
-            n_, k_ = sel
-            src = idx[n_, k_]
-            Xp, Yp = Xn[n_], Yn[n_]
-            Xq, Yq = Xn[src], Yn[src]
-            M = np.zeros((len(n_), 2, 2))
-            for col, (ua, ub) in enumerate(
-                    ((np.ones(len(n_)), np.zeros(len(n_))),
-                     (np.zeros(len(n_)), np.ones(len(n_))))):
-                ulon, ulat = cst.vec_sphere_from_cov(Xq, Yq, qm, ua, ub)
-                ca, cb = cst.vec_cov_from_sphere(Xp, Yp, pn, ulon, ulat)
-                M[:, 0, col] = ca
-                M[:, 1, col] = cb
-            wv[n_, k_] = M * ws[n_, k_, None, None]
-
-    return idx.astype(np.int32), ws, wv, A
+def _edge_flat_ids(pa: int, e: int, A: int) -> np.ndarray:
+    ii = np.arange(A)
+    if e == EDGE_LEFT:
+        a, b = np.zeros(A, dtype=np.int64), ii
+    elif e == EDGE_RIGHT:
+        a, b = np.full(A, A - 1, dtype=np.int64), ii
+    elif e == EDGE_BOTTOM:
+        a, b = ii, np.zeros(A, dtype=np.int64)
+    elif e == EDGE_TOP:
+        a, b = ii, np.full(A, A - 1, dtype=np.int64)
+    else:
+        raise ValueError(e)
+    return pa * A * A + a * A + b
 
 
 def build_dss_tables(geom, dtype=None) -> DSSTables:
-    """Coincidence/transform tables for this grid (cached by (ne, p))."""
-    idx, ws, wv, A = _build_tables_np(geom.ne, geom.p)
+    ne, p = geom.ne, geom.p
+    A = ne * p
+    dst, meta, mats = [], [], []
+    cov = np.asarray(geom.edge_mats)
+    for (pa, e, qa, qe, flip) in geom.edge_meta:
+        dst.append(_edge_flat_ids(pa, e, A))
+        meta.append((qa, qe, flip))
+        mats.append(cov[pa, e])
+    mats = np.stack(mats)                       # (24, A, 2, 2)
+    contra = np.swapaxes(np.linalg.inv(mats), -1, -2)
     dtype = dtype or jnp.asarray(geom.jac2d).dtype
-    return DSSTables(idx=jnp.asarray(idx), ws=jnp.asarray(ws, dtype=dtype),
-                     wv=jnp.asarray(wv, dtype=dtype), A=A)
+    return DSSTables(
+        ne=ne, p=p,
+        dst=jnp.asarray(np.concatenate(dst), dtype=jnp.int32),
+        src_meta=tuple(meta),
+        mats=jnp.asarray(mats, dtype=dtype),
+        mats_contra=jnp.asarray(contra, dtype=dtype),
+        inv_mult=jnp.asarray(geom.inv_mult, dtype=dtype),
+        A=A)
 
 
-def _bshape(w, flat):
-    return w.reshape(w.shape + (1,) * (flat.ndim - 1))
+def _get_line(f, panel: int, edge: int):
+    if edge == EDGE_LEFT:
+        return f[panel, 0, :]
+    if edge == EDGE_RIGHT:
+        return f[panel, -1, :]
+    if edge == EDGE_BOTTOM:
+        return f[panel, :, 0]
+    if edge == EDGE_TOP:
+        return f[panel, :, -1]
+    raise ValueError(edge)
+
+
+def _pair_sums(f, _unused, ne: int, p: int):
+    # slice-based coincident-pair sums (4 static updates; measured
+    # faster than the 0/1-matrix matmul at f32-highest precision, which
+    # costs ~10 ms/step of 3-pass MXU work at ne30 L30)
+    hi = f[:, p - 1:-1:p]
+    lo = f[:, p::p]
+    s = hi + lo
+    f = f.at[:, p - 1:-1:p].set(s).at[:, p::p].set(s)
+    hi = f[:, :, p - 1:-1:p]
+    lo = f[:, :, p::p]
+    s = hi + lo
+    return f.at[:, :, p - 1:-1:p].set(s).at[:, :, p::p].set(s)
+
+
+def _edge_lines(s, tab: DSSTables):
+    """(24, A, ...) stacked neighbor edge lines (flip-corrected)."""
+    lines = []
+    for (qa, qe, flip) in tab.src_meta:
+        ln = _get_line(s, qa, qe)
+        lines.append(ln[::-1] if flip else ln)
+    return jnp.stack(lines)
+
+
+def _scatter_finish(s, vals24, tab: DSSTables, trailing_ndim: int):
+    """One combined scatter-add of all 24 edge-line contributions."""
+    A = tab.A
+    flat = s.reshape((6 * A * A,) + s.shape[3:])
+    out = flat.at[tab.dst].add(vals24.reshape((24 * A,) + vals24.shape[2:]))
+    out = out.reshape(s.shape)
+    w = tab.inv_mult.reshape(tab.inv_mult.shape + (1,) * trailing_ndim)
+    return out * w
 
 
 def dss_scalar_gather(f, tab: DSSTables):
-    """DSS of a scalar (6, A, B, ...) field — K gathers, no scatter."""
-    N, K = tab.idx.shape
-    flat = f.reshape((N,) + f.shape[3:])
-    out = _bshape(tab.ws[:, 0], flat) * flat          # slot 0 = self
-    for k in range(1, K):
-        out = out + _bshape(tab.ws[:, k], flat) * flat[tab.idx[:, k]]
-    return out.reshape(f.shape)
+    """DSS of a scalar (6, A, B, ...) field."""
+    s = _pair_sums(f, None, tab.ne, tab.p)
+    return _scatter_finish(s, _edge_lines(s, tab), tab, f.ndim - 3)
 
 
 def dss_vector_gather(fu, fv, tab: DSSTables, wv=None):
     """DSS of a covariant vector pair with panel-edge transforms.
 
-    ``wv``: override the (N, K, 2, 2) transform table (contravariant
-    momenta use the inverse-transpose set, see ``highspeed.py``).
-    """
+    ``wv="contra"`` or a (24, A, 2, 2) array: alternate line-transform
+    set (contravariant momenta use the inverse-transpose matrices)."""
     if wv is None:
-        wv = tab.wv
-    N, K = tab.idx.shape
-    u = fu.reshape((N,) + fu.shape[3:])
-    v = fv.reshape((N,) + fv.shape[3:])
-    ou = _bshape(wv[:, 0, 0, 0], u) * u + _bshape(wv[:, 0, 0, 1], v) * v
-    ov = _bshape(wv[:, 0, 1, 0], u) * u + _bshape(wv[:, 0, 1, 1], v) * v
-    for k in range(1, K):
-        gu = u[tab.idx[:, k]]
-        gv = v[tab.idx[:, k]]
-        ou = ou + _bshape(wv[:, k, 0, 0], u) * gu \
-                + _bshape(wv[:, k, 0, 1], v) * gv
-        ov = ov + _bshape(wv[:, k, 1, 0], u) * gu \
-                + _bshape(wv[:, k, 1, 1], v) * gv
-    return ou.reshape(fu.shape), ov.reshape(fv.shape)
+        mats = tab.mats
+    elif isinstance(wv, str) and wv == "contra":
+        mats = tab.mats_contra
+    else:
+        mats = wv
+    su = _pair_sums(fu, None, tab.ne, tab.p)
+    sv = _pair_sums(fv, None, tab.ne, tab.p)
+    lu = _edge_lines(su, tab)
+    lv = _edge_lines(sv, tab)
+    ext = (Ellipsis,) + (None,) * (fu.ndim - 3)
+    tu = mats[:, :, 0, 0][ext] * lu + mats[:, :, 0, 1][ext] * lv
+    tv = mats[:, :, 1, 0][ext] * lu + mats[:, :, 1, 1][ext] * lv
+    return (_scatter_finish(su, tu, tab, fu.ndim - 3),
+            _scatter_finish(sv, tv, tab, fv.ndim - 3))
 
 
-def build_contra_wv(geom) -> Any:
-    """(N, K, 2, 2) transform table for CONTRAVARIANT vector pairs.
-
-    Contravariant components rotate with the inverse-transpose of the
-    covariant matrices; weights (1/multiplicity) are reapplied after
-    inverting the unweighted transforms.
-    """
-    idx, ws, wv, A = _build_tables_np(geom.ne, geom.p)
-    raw = np.array(wv)
-    safe = np.where(ws[..., None, None] > 0, ws[..., None, None], 1.0)
-    unweighted = raw / safe
-    # pad slots hold zero matrices; substitute identity before inverting
-    zero = ws <= 0
-    unweighted[zero] = np.eye(2)
-    contra = np.swapaxes(np.linalg.inv(unweighted), -1, -2)
-    contra[zero] = 0.0
-    contra = contra * np.where(ws[..., None, None] > 0,
-                               ws[..., None, None], 0.0)
-    dtype = jnp.asarray(geom.jac2d).dtype
-    return jnp.asarray(contra, dtype=dtype)
+def build_contra_wv(geom):
+    """Back-compat helper: the contravariant line-transform set."""
+    return build_dss_tables(geom).mats_contra

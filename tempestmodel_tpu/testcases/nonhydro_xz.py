@@ -17,13 +17,19 @@ from ..grid.cartesian import CartesianGeometry
 
 
 def _state_dict(geom: CartesianGeometry, theta_lev, rho_lev, u_lev=None,
-                dtype=jnp.float64):
-    """Assemble the Lorenz-staggered state from level fields (W = 0)."""
+                dtype=jnp.float64, rt_int=None, w_on_levels=False):
+    """Assemble the staggered state from level fields (W = 0).
+
+    ``rt_int``: Charney-Phillips initialization — RhoTheta evaluated on
+    interfaces replaces the level Rt (``--vstagger CPH``).
+    ``w_on_levels``: LEV staggering — W lives on the nz model levels.
+    """
     shape = np.asarray(geom.z_lev).shape
     zeros = np.zeros(shape)
     u = zeros if u_lev is None else np.broadcast_to(u_lev, shape)
-    rt = rho_lev * theta_lev
-    w = np.zeros(shape[:3] + (geom.nz + 1,))
+    rt = rho_lev * theta_lev if rt_int is None else rt_int
+    nw = geom.nz if w_on_levels else geom.nz + 1
+    w = np.zeros(shape[:3] + (nw,))
     return {
         "U": jnp.asarray(np.broadcast_to(u, shape).copy(), dtype),
         "V": jnp.asarray(zeros, dtype),
@@ -237,12 +243,21 @@ class InertiaGravityWave:
         return self.theta_c * np.sin(np.pi * z / self.h_c) / (
             1.0 + ((x - self.x_c) / self.a_c) ** 2)
 
-    def initial_state(self, geom, constants, dtype=jnp.float64):
+    def initial_state(self, geom, constants, dtype=jnp.float64,
+                      stagger="LOR"):
         z = np.asarray(geom.z_lev)
         x = np.broadcast_to(np.asarray(geom.x)[None, :, None, None], z.shape)
         theta_b, rho = self._background(z, constants)
         theta = theta_b + self.theta_perturbation(x, z)
-        return _state_dict(geom, theta, rho, u_lev=self.u0, dtype=dtype)
+        rt_int = None
+        if stagger == "CPH":
+            zi = np.asarray(geom.z_int)
+            xi = np.broadcast_to(
+                np.asarray(geom.x)[None, :, None, None], zi.shape)
+            theta_bi, rho_i = self._background(zi, constants)
+            rt_int = rho_i * (theta_bi + self.theta_perturbation(xi, zi))
+        return _state_dict(geom, theta, rho, u_lev=self.u0, dtype=dtype,
+                           rt_int=rt_int, w_on_levels=(stagger == "LEV"))
 
     def reference_state(self, geom, constants, dtype=jnp.float64):
         z = np.asarray(geom.z_lev)

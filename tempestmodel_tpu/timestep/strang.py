@@ -62,10 +62,14 @@ def make_strang_step(cfg: ModelConfig, geom, dss_state: Callable,
             return dss_state(upd, halo=shadow)
         return dss_state(upd)
 
-    if cfg.vertical_solver in ("banded", "pallas"):
+    from ..config import VerticalStaggering
+    lorenz = cfg.vertical_staggering == VerticalStaggering.LORENZ
+    if cfg.vertical_solver in ("banded", "pallas") and lorenz:
         q = nonhydro.estimate_bandwidth(geom, constants)
         band_statics = nonhydro.band_assembly_statics(geom, q)
     else:
+        # non-Lorenz staggerings solve dense (vertical_implicit falls
+        # back internally; the banded layout is Lorenz-specific)
         q = 0
         band_statics = None
 

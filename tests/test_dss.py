@@ -120,10 +120,6 @@ def test_gather_dss_equals_scatter_dss(geom):
     rng = np.random.default_rng(7)
     A = geom.ne * geom.p
     tab = dss_gather.build_dss_tables(geom)
-    # multiplicity table must reproduce the geometry's inv_mult
-    mult = 1.0 / np.asarray(tab.ws[:, 0]).reshape(6, A, A)
-    np.testing.assert_allclose(mult, 1.0 / np.asarray(geom.inv_mult),
-                               atol=0.0)
     f = jnp.asarray(rng.normal(size=(6, A, A, 5)))
     np.testing.assert_allclose(
         np.asarray(dss_gather.dss_scalar_gather(f, tab)),

@@ -187,3 +187,27 @@ def test_shallow_water_eddy_rotated():
     assert np.isfinite(h).all()
     # rotation produces meridional flow
     assert np.abs(ulat).max() > 1.0
+
+
+def test_baroclinic3d_ridge_runs():
+    """Ridge variant end-to-end: terrain-following metric over the
+    meridional ridge + no-flux y walls, 6 steps stay finite and the
+    jet stays O(u0) (Baroclinic3DCartesianRidgeTest.cpp)."""
+    tc = Baroclinic3DChannel(ridge=True)
+    cfg = ModelConfig(grid_kind=GridKind.CARTESIAN_3D, nex=8, ney=4,
+                      order=4, nz=8, ztop=tc.ztop, x_extent=tc.x_extent,
+                      y_extent=tc.y_extent, dt=100.0, hyperdiffusion=False)
+    geom = nh_model.build_nh_cartesian_geometry(
+        cfg, bc_y=tc.bc_y, topography=tc.topography,
+        reference_latitude=tc.reference_latitude)
+    assert float(np.abs(np.asarray(geom.topo)).max()) > 100.0
+    s = tc.initial_state(geom, cfg.constants)
+    first_step, step = nh_model.make_nh_step(cfg, geom)
+    s, carry = first_step(s)
+    for _ in range(5):
+        s, carry = step(s, carry)
+    u = np.asarray(s["U"])
+    assert np.isfinite(u).all()
+    u_scale = np.abs(np.asarray(
+        tc.initial_state(geom, cfg.constants)["U"])).max()
+    assert np.abs(u).max() < 3.0 * u_scale
