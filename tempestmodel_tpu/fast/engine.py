@@ -1,0 +1,539 @@
+"""Z-first TPU engine: geometry, DSS, tendencies, Strang driver.
+
+Semantics are a one-to-one port of the reference-layout engine
+(``models/nonhydro.py`` horizontal/vertical dynamics,
+``models/hyperdiff.py`` nu4 tail, ``parallel/dss.py`` DSS,
+``timestep/strang.py`` driver) — citations to the C++ reference live
+there.  What changes here is the execution shape:
+
+  state dict {U,V,Rt,W,Rho} of (6, A, B, nz[+1])
+    ->  fast state dict of (nz[+1], 6, A, B)   ("z-first")
+
+so that vertical column operators are clean leading-axis GEMMs,
+horizontal derivatives are dense block-diagonal (A, A) GEMMs over the
+whole field, DSS is one Pallas kernel per field (``fast/dss_pallas``),
+and every RK combination fuses into full-field elementwise kernels.
+See ``fast/__init__`` for the kernel-count rationale and measurements.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig, GridKind, VerticalStaggering
+from ..constants import PhysicalConstants
+from ..grid.geometry import (CubedSphereGeometry, EDGE_LEFT, EDGE_RIGHT,
+                             EDGE_BOTTOM, EDGE_TOP)
+from ..models import nonhydro
+from ..timestep.explicit import ExplicitSubScheme
+from . import dss_pallas
+
+FIELDS = ("U", "V", "Rt", "Rho", "W")
+
+
+def pack_state(state):
+    """Reference layout (6,A,B,nz[+1]) -> z-first (nz[+1],6,A,B)."""
+    return {k: jnp.moveaxis(jnp.asarray(state[k]), -1, 0) for k in FIELDS}
+
+
+def unpack_state(d, nz: int = None):
+    """Z-first fast state -> reference-layout state dict."""
+    return {k: jnp.moveaxis(d[k], 0, -1) for k in FIELDS}
+
+
+def tree_map(f, *trees):
+    return {k: f(*(t[k] for t in trees)) for k in trees[0]}
+
+
+# ---------------------------------------------------------------------------
+# Fast geometry (host-precomputed, z-first layout)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class FastGeometry:
+    """Precomputed arrays for the z-first engine (plain object; closed
+    over by the jitted step, not passed through it)."""
+    nz: int
+    p: int
+    ne: int
+    A: int
+    vo: int
+    is_xz: bool
+    delta: float
+    reference_length: float
+    dss_links: tuple     # (panel, edge, nbr_panel, nbr_edge, flip) x 24
+    # dense (A, A) horizontal operators
+    DA: Any          # strong derivative: out_i = sum_s DA[i,s] f_s
+    Sd: Any          # stiffness/delta:   weak_div = -(Sd@fa + fb@Sd^T)
+    # vertical column operators (same matrices as CubedSphereGeometry)
+    interp_n2i: Any
+    interp_i2n: Any
+    diff_n2n: Any
+    diff_n2i: Any
+    diff_i2n: Any
+    diff_i2i: Any
+    diffdiff_i2i: Any
+    penalty_left: Any
+    penalty_right: Any
+    wscat_left: Any
+    wscat_right: Any
+    # metric terms, z-first
+    c2_aa: Any       # (6, A, B)
+    c2_ab: Any
+    c2_ba: Any
+    c2_bb: Any
+    jac2d: Any       # (6, A, B)
+    fj: Any          # coriolis * jac2d (6, A, B)
+    inv_mult: Any    # (6, A, B)
+    jac3d: Any       # (nz, 6, A, B)
+    jac3d_int: Any   # (nz+1, 6, A, B)
+    con_a_xi: Any    # (nz, 6, A, B)
+    con_b_xi: Any
+    con_xi_xi: Any
+    con_a_xi_int: Any    # (nz+1, 6, A, B)
+    con_b_xi_int: Any
+    con_xi_xi_int: Any
+    deriv_r_a: Any   # (nz, 6, A, B)   dDaR on levels
+    deriv_r_b: Any
+    deriv_r_xi_int: Any  # (nz+1, 6, A, B) dDxR on interfaces
+    rayleigh_lev: Any
+    rayleigh_int: Any
+    e_rot: Any       # (4, 24, A): [r00, r01, r10, r11] covariant transform
+
+
+def build_fast_geometry(geom: CubedSphereGeometry,
+                        dtype=jnp.float32) -> FastGeometry:
+    nz, p, ne = geom.nz, geom.p, geom.ne
+    A = ne * p
+    f64 = np.float64
+
+    D = np.asarray(geom.deriv, f64)
+    S = np.asarray(geom.stiff, f64)
+    delta = float(geom.delta)
+    DA = np.kron(np.eye(ne), D.T) / delta
+    Sd = np.kron(np.eye(ne), S) / delta
+
+    def zf(a):
+        return jnp.asarray(np.moveaxis(np.asarray(a, f64), -1, 0), dtype)
+
+    def c(a):
+        return jnp.asarray(np.asarray(a, f64), dtype)
+
+    n_edges = len(geom.edge_meta)
+    e_rot = np.zeros((4, n_edges, A), f64)
+    mats = np.asarray(geom.edge_mats, f64)          # (6, 4, A, 2, 2)
+    for i, (pa, e, qa, qe, flip) in enumerate(geom.edge_meta):
+        M = mats[pa, e]                              # (A, 2, 2)
+        e_rot[0, i] = M[:, 0, 0]
+        e_rot[1, i] = M[:, 0, 1]
+        e_rot[2, i] = M[:, 1, 0]
+        e_rot[3, i] = M[:, 1, 1]
+
+    con2d = np.asarray(geom.con2d, f64)
+    cor = np.asarray(geom.coriolis, f64)
+    j2 = np.asarray(geom.jac2d, f64)
+
+    return FastGeometry(
+        nz=nz, p=p, ne=ne, A=A, vo=geom.vo, is_xz=False, delta=delta,
+        reference_length=float(geom.reference_length),
+        dss_links=tuple(geom.edge_meta),
+        DA=c(DA), Sd=c(Sd),
+        interp_n2i=c(geom.interp_n2i), interp_i2n=c(geom.interp_i2n),
+        diff_n2n=c(geom.diff_n2n), diff_n2i=c(geom.diff_n2i),
+        diff_i2n=c(geom.diff_i2n), diff_i2i=c(geom.diff_i2i),
+        diffdiff_i2i=c(geom.diffdiff_i2i),
+        penalty_left=(None if geom.penalty_left is None
+                      else c(geom.penalty_left)),
+        penalty_right=(None if geom.penalty_right is None
+                       else c(geom.penalty_right)),
+        wscat_left=(None if geom.wscat_left is None
+                    else c(geom.wscat_left)),
+        wscat_right=(None if geom.wscat_right is None
+                     else c(geom.wscat_right)),
+        c2_aa=c(con2d[..., 0, 0]), c2_ab=c(con2d[..., 0, 1]),
+        c2_ba=c(con2d[..., 1, 0]), c2_bb=c(con2d[..., 1, 1]),
+        jac2d=c(j2), fj=c(cor * j2),
+        inv_mult=c(geom.inv_mult),
+        jac3d=zf(geom.jac3d), jac3d_int=zf(geom.jac3d_int),
+        con_a_xi=zf(geom.con_a_xi), con_b_xi=zf(geom.con_b_xi),
+        con_xi_xi=zf(geom.con_xi_xi),
+        con_a_xi_int=zf(geom.con_a_xi_int),
+        con_b_xi_int=zf(geom.con_b_xi_int),
+        con_xi_xi_int=zf(geom.con_xi_xi_int),
+        deriv_r_a=zf(np.asarray(geom.deriv_r, f64)[..., 0]),
+        deriv_r_b=zf(np.asarray(geom.deriv_r, f64)[..., 1]),
+        deriv_r_xi_int=zf(np.asarray(geom.deriv_r_int, f64)[..., 2]),
+        rayleigh_lev=zf(geom.rayleigh_lev),
+        rayleigh_int=zf(geom.rayleigh_int),
+        e_rot=c(e_rot),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Horizontal operators (dense (A, A), z-batched)
+# ---------------------------------------------------------------------------
+
+def hderiv_a(f, fg: FastGeometry):
+    return jnp.einsum("is,cpsb->cpib", fg.DA, f)
+
+
+def hderiv_b(f, fg: FastGeometry):
+    return jnp.einsum("cpas,is->cpai", f, fg.DA)
+
+
+def hweak_div(fa, fb, fg: FastGeometry):
+    """Variational divergence (positive = divergence), sem.weak_div port."""
+    wa = jnp.einsum("is,cpsb->cpib", fg.Sd, fa)
+    wb = jnp.einsum("cpas,is->cpai", fb, fg.Sd)
+    return -(wa + wb)
+
+
+def hweak_grad(f, fg: FastGeometry):
+    """(-Sd @ f, -f @ Sd^T): weak gradients along a and b."""
+    return (-jnp.einsum("is,cpsb->cpib", fg.Sd, f),
+            -jnp.einsum("cpas,is->cpai", f, fg.Sd))
+
+
+def colop(M, f):
+    """Vertical column operator over the leading z axis."""
+    shp = f.shape
+    out = M @ f.reshape(shp[0], -1)
+    return out.reshape((M.shape[0],) + shp[1:])
+
+
+# ---------------------------------------------------------------------------
+# DSS (Pallas kernels; see fast/dss_pallas.py)
+# ---------------------------------------------------------------------------
+
+def apply_dss(d, fg: FastGeometry):
+    """DSS of the full fast state (U/V rotate as a covariant pair)."""
+    u, v = dss_pallas.dss_vector(d["U"], d["V"], fg.inv_mult, fg.e_rot,
+                                 fg.dss_links, fg.p)
+    out = {"U": u, "V": v}
+    for k in ("Rt", "Rho", "W"):
+        out[k] = dss_pallas.dss_scalar(d[k], fg.inv_mult, fg.dss_links,
+                                       fg.p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Nonhydrostatic tendencies (LOR staggering)
+# ---------------------------------------------------------------------------
+
+def horizontal_tendency(d, fg: FastGeometry, constants: PhysicalConstants):
+    """Port of ``nonhydro.horizontal_tendency`` (LOR branch), with the
+    vertical penalty upwinding of U/V
+    (``nonhydro.vertical_explicit_increment``) folded into the U/V rows."""
+    nz = fg.nz
+    u, v = d["U"], d["V"]
+    rt, rho, w = d["Rt"], d["Rho"], d["W"]
+
+    w_n = colop(fg.interp_i2n, w)
+
+    c_aa, c_ab = fg.c2_aa[None], fg.c2_ab[None]
+    c_ba, c_bb = fg.c2_ba[None], fg.c2_bb[None]
+    con_ua = c_aa * u + c_ab * v + fg.con_a_xi * w_n
+    con_ub = c_ba * u + c_bb * v + fg.con_b_xi * w_n
+    con_ux = fg.con_a_xi * u + fg.con_b_xi * v + fg.con_xi_xi * w_n
+
+    ke = 0.5 * (con_ua * u + con_ub * v + con_ux * w_n)
+    exner = nonhydro.exner_from_rhotheta(rt, constants)
+
+    du_dxi = colop(fg.diff_n2n, u)
+    dv_dxi = colop(fg.diff_n2n, v)
+
+    dv_da = hderiv_a(v, fg)
+    du_db = hderiv_b(u, fg)
+    dwn_da = hderiv_a(w_n, fg)
+    dwn_db = hderiv_b(w_n, fg)
+
+    jzeta_a = dwn_db - dv_dxi
+    jzeta_b = du_dxi - dwn_da
+    jzeta_x = dv_da - du_db
+
+    ucz_a = con_ub * jzeta_x - con_ux * jzeta_b
+    ucz_b = con_ux * jzeta_a - con_ua * jzeta_x
+    ucz_x = -con_ua * dwn_da - con_ub * dwn_db
+
+    base_a = fg.jac3d * con_ua
+    base_b = fg.jac3d * con_ub
+    div_rho = hweak_div(base_a * rho, base_b * rho, fg)
+    div_rt = hweak_div(base_a * rt, base_b * rt, fg)
+
+    dke_a = hderiv_a(ke, fg)
+    dke_b = hderiv_b(ke, fg)
+    dpi_a = hderiv_a(exner, fg)
+    dpi_b = hderiv_b(exner, fg)
+
+    theta = rt / rho
+    fj = fg.fj[None]
+
+    dU = (ucz_a + fj * con_ub
+          - (dpi_a * theta + dke_a + constants.g * fg.deriv_r_a))
+    dV = (ucz_b - fj * con_ua
+          - (dpi_b * theta + dke_b + constants.g * fg.deriv_r_b))
+    dRho = -div_rho / fg.jac3d
+    dRt = -div_rt / fg.jac3d
+
+    dW = colop(fg.interp_n2i, ucz_x)
+    dW = dW.at[0].set(0.0).at[-1].set(0.0)
+
+    # --- vertical explicit penalty upwinding of U/V (per unit dt) --------
+    u_i = colop(fg.interp_n2i, u)
+    v_i = colop(fg.interp_n2i, v)
+    xid = (fg.con_a_xi_int * u_i + fg.con_b_xi_int * v_i
+           + fg.con_xi_xi_int * w)
+    xid = xid.at[0].set(0.0).at[-1].set(0.0)
+    vo = fg.vo
+    if fg.penalty_left is not None and nz // vo > 1:
+        wb = jnp.abs(xid[vo:nz:vo])                        # (nfe-1, ...)
+        wl = colop(fg.wscat_left, wb)
+        wr = colop(fg.wscat_right, wb)
+        dU = dU + colop(fg.penalty_left, u) * wl \
+            + colop(fg.penalty_right, u) * wr
+        dV = dV + colop(fg.penalty_left, v) * wl \
+            + colop(fg.penalty_right, v) * wr
+
+    return {"U": dU, "V": dV, "Rt": dRt, "Rho": dRho, "W": dW}
+
+
+def apply_w_boundary(d, fg: FastGeometry):
+    """Diagnostic bottom W from u^xi(surface) = 0 (nonhydro.apply_w_boundary)."""
+    u0 = colop(fg.interp_n2i[0:1], d["U"])[0]
+    v0 = colop(fg.interp_n2i[0:1], d["V"])[0]
+    w0 = -(fg.con_a_xi_int[0] * u0 + fg.con_b_xi_int[0] * v0) \
+        / fg.con_xi_xi_int[0]
+    return dict(d, W=d["W"].at[0].set(w0))
+
+
+# ---------------------------------------------------------------------------
+# Hyperdiffusion tail (nu4 / nu2), hyperdiff.step_after_subcycle_nh port
+# ---------------------------------------------------------------------------
+
+def scalar_laplacian(f, jac, fg: FastGeometry):
+    da = hderiv_a(f, fg)
+    db = hderiv_b(f, fg)
+    c_aa, c_ab = fg.c2_aa[None], fg.c2_ab[None]
+    c_ba, c_bb = fg.c2_ba[None], fg.c2_bb[None]
+    ga = jac * (c_aa * da + c_ab * db)
+    gb = jac * (c_ba * da + c_bb * db)
+    return hweak_div(ga, gb, fg) / jac
+
+
+def vector_hyperdiff_update(u, v, nu_div, nu_vort, fg: FastGeometry):
+    c_aa, c_ab = fg.c2_aa[None], fg.c2_ab[None]
+    c_ba, c_bb = fg.c2_ba[None], fg.c2_bb[None]
+    j2 = fg.jac2d[None]
+    con_u = c_aa * u + c_ab * v
+    con_v = c_ba * u + c_bb * v
+    div = (hderiv_a(j2 * con_u, fg) + hderiv_b(j2 * con_v, fg)) / j2
+    curl = (hderiv_a(v, fg) - hderiv_b(u, fg)) / j2
+    wda_div, wdb_div = hweak_grad(div, fg)
+    wda_curl, wdb_curl = hweak_grad(curl, fg)
+    du = nu_div * wda_div - nu_vort * j2 * (
+        c_ba * wda_curl + c_bb * wdb_curl)
+    dv = nu_div * wdb_div + nu_vort * j2 * (
+        c_aa * wda_curl + c_ab * wdb_curl)
+    return du, dv
+
+
+def apply_rayleigh(d, fac, ref_term):
+    """X <- fac * X + (1 - fac) * Xref with ref_term = (1 - fac) * Xref.
+    fac has Rho rows = 1, so Rho is never damped."""
+    return tree_map(lambda x, f, r: f * x + r, d, fac, ref_term)
+
+
+def step_after_subcycle(d, dt, cfg: ModelConfig, fg: FastGeometry,
+                        rayleigh=None):
+    """nu4/nu2 hyperviscosity + DSS (+ optional Rayleigh) Strang tail."""
+
+    def finish(ds):
+        ds = apply_dss(ds, fg)
+        if rayleigh is not None:
+            ds = apply_rayleigh(ds, *rayleigh)
+        return ds
+
+    if not cfg.hyperdiffusion or (
+            cfg.nu_scalar == 0 and cfg.nu_div == 0 and cfg.nu_vort == 0):
+        if rayleigh is not None:
+            return apply_rayleigh(d, *rayleigh)
+        return d
+
+    scale = (fg.delta / fg.reference_length) ** 3.2 \
+        if cfg.hypervis_order == 4 else 1.0
+    nu_s = cfg.nu_scalar * scale
+    nu_d = cfg.nu_div * scale
+    nu_v = cfg.nu_vort * scale
+
+    if cfg.hypervis_order == 2:
+        du, dv = vector_hyperdiff_update(
+            d["U"], d["V"], cfg.nu_div, cfg.nu_vort, fg)
+        out = {
+            "U": d["U"] - dt * du, "V": d["V"] - dt * dv,
+            "Rt": d["Rt"] + dt * nu_s * scalar_laplacian(
+                d["Rt"], fg.jac3d, fg),
+            "Rho": d["Rho"] + dt * nu_s * scalar_laplacian(
+                d["Rho"], fg.jac3d, fg),
+            "W": d["W"] + dt * nu_s * scalar_laplacian(
+                d["W"], fg.jac3d_int, fg),
+        }
+        return finish(out)
+
+    # order 4: Lap pass -> DSS -> -dt * nu_local * Lap pass -> DSS
+    wu, wv = vector_hyperdiff_update(d["U"], d["V"], 1.0, 1.0, fg)
+    work = {
+        "U": -wu, "V": -wv,
+        "Rt": scalar_laplacian(d["Rt"], fg.jac3d, fg),
+        "Rho": scalar_laplacian(d["Rho"], fg.jac3d, fg),
+        "W": scalar_laplacian(d["W"], fg.jac3d_int, fg),
+    }
+    work = apply_dss(work, fg)
+
+    du, dv = vector_hyperdiff_update(work["U"], work["V"], nu_d, nu_v, fg)
+    out = {
+        "U": d["U"] + dt * du, "V": d["V"] + dt * dv,
+        "Rt": d["Rt"] - dt * nu_s * scalar_laplacian(
+            work["Rt"], fg.jac3d, fg),
+        "Rho": d["Rho"] - dt * nu_s * scalar_laplacian(
+            work["Rho"], fg.jac3d, fg),
+        "W": d["W"] - dt * nu_s * scalar_laplacian(
+            work["W"], fg.jac3d_int, fg),
+    }
+    return finish(out)
+
+
+# ---------------------------------------------------------------------------
+# Strang-HEVI driver
+# ---------------------------------------------------------------------------
+
+def fast_engine_supported(cfg: ModelConfig, has_tracers: bool = False,
+                          mesh=None) -> bool:
+    """The configurations the z-first engine covers."""
+    from ..config import TimestepSchemeType
+    return (cfg.grid_kind == GridKind.CUBED_SPHERE
+            and cfg.vertical_staggering == VerticalStaggering.LORENZ
+            and cfg.timescheme == TimestepSchemeType.STRANG
+            and not cfg.explicit_vertical
+            and cfg.vertical_solver in ("banded", "pallas")
+            and cfg.nu_uniform_scalar == 0.0
+            and cfg.nu_uniform_vector == 0.0
+            and not has_tracers
+            and mesh is None)
+
+
+def make_fast_step(cfg: ModelConfig, geom: CubedSphereGeometry,
+                   ref_state=None):
+    """(first_step, step) on the fast state: step(d, carry) -> (d, carry).
+
+    Drop-in semantics of ``timestep/strang.make_strang_step`` for the
+    supported configuration subset (``fast_engine_supported``).
+    """
+    from . import implicit as fimp
+
+    constants = cfg.constants
+    dt = cfg.dt
+    oc = cfg.off_centering
+    fg = build_fast_geometry(geom, dtype=cfg.dtype)
+
+    q = nonhydro.estimate_bandwidth(geom, constants)
+    statics = nonhydro.band_assembly_statics(geom, q)
+    use_pallas = cfg.vertical_solver == "pallas"
+
+    rayleigh = None
+    if cfg.rayleigh_damping and ref_state is not None:
+        n_cycles = 10
+
+        def fac_of(r):
+            return (1.0 / (1.0 + dt * np.asarray(r, np.float64)
+                           / n_cycles)) ** n_cycles
+
+        fac_lev = np.moveaxis(fac_of(geom.rayleigh_lev), -1, 0)
+        fac_int = np.moveaxis(fac_of(geom.rayleigh_int), -1, 0)
+        fac = {"U": fac_lev, "V": fac_lev, "Rt": fac_lev,
+               "Rho": np.ones_like(fac_lev), "W": fac_int}
+        fac = {k: jnp.asarray(v, cfg.dtype) for k, v in fac.items()}
+        ref_zf = pack_state({k: jnp.asarray(np.asarray(v), cfg.dtype)
+                             for k, v in ref_state.items()})
+        ref_term = tree_map(lambda f, r: (1.0 - f) * r, fac, ref_zf)
+        rayleigh = (fac, ref_term)
+
+    def axpy(base, tend, dt_s):
+        return tree_map(lambda b, t: b + dt_s * t, base, tend)
+
+    def comb(*coeff_states):
+        coeffs, states = zip(*coeff_states)
+        return tree_map(
+            lambda *xs: sum(c * x for c, x in zip(coeffs, xs)), *states)
+
+    def stage(base, ueval, dt_s):
+        tend = horizontal_tendency(ueval, fg, constants)
+        upd = axpy(base, tend, dt_s)
+        upd = apply_w_boundary(upd, fg)
+        return apply_dss(upd, fg)
+
+    def erk(X0):
+        scheme = cfg.explicit_scheme
+        if scheme == ExplicitSubScheme.FORWARD_EULER:
+            return stage(X0, X0, dt)
+        if scheme == ExplicitSubScheme.RK4:
+            u1 = stage(X0, X0, 0.5 * dt)
+            u2 = stage(X0, u1, 0.5 * dt)
+            u3 = stage(X0, u2, dt)
+            base = comb((-1.0 / 3.0, X0), (1.0 / 3.0, u1),
+                        (2.0 / 3.0, u2), (1.0 / 3.0, u3))
+            return stage(base, u3, dt / 6.0)
+        if scheme == ExplicitSubScheme.SSPRK3:
+            u1 = stage(X0, X0, dt)
+            u2 = stage(comb((0.75, X0), (0.25, u1)), u1, 0.25 * dt)
+            return stage(comb((1.0 / 3.0, X0), (2.0 / 3.0, u2)),
+                         u2, 2.0 * dt / 3.0)
+        if scheme == ExplicitSubScheme.KGU35:
+            u1 = stage(X0, X0, dt / 5.0)
+            u2 = stage(X0, u1, dt / 5.0)
+            u3 = stage(X0, u2, dt / 3.0)
+            u2b = stage(X0, u3, 2.0 * dt / 3.0)
+            return stage(comb((-0.25, X0), (1.25, u1)), u2b, 0.75 * dt)
+        if scheme == ExplicitSubScheme.SSPRK53:
+            c1 = 0.377268915331368
+            c3 = 0.242995220537396
+            c4 = 0.238458932846290
+            c5 = 0.287632146308408
+            u1 = stage(X0, X0, c1 * dt)
+            u2 = stage(u1, u1, c1 * dt)
+            u3 = stage(comb((0.355909775063327, X0),
+                            (0.644090224936674, u2)), u2, c3 * dt)
+            u0b = stage(comb((0.367933791638137, X0),
+                             (0.632066208361863, u3)), u3, c4 * dt)
+            return stage(comb((0.762406163401431, u0b),
+                              (0.237593836598569, u2)), u0b, c5 * dt)
+        raise ValueError(f"unsupported explicit scheme {scheme}")
+
+    def implicit(d, dti):
+        return fimp.vertical_implicit(
+            d, fg, constants, dti, q, statics,
+            newton_iters=cfg.newton_iterations, use_pallas=use_pallas,
+            ref_jacobian=(cfg.jacobian_mode == "reference"))
+
+    def tail(X):
+        u4 = erk(X)
+        u1 = step_after_subcycle(u4, dt, cfg, fg, rayleigh=rayleigh)
+        u0 = implicit(u1, 0.5 * (1.0 + oc) * dt)
+        if oc != 0.0:
+            u0 = comb((0.5 * (2.0 - oc), u0), (0.5 * oc, u1))
+        carry = tree_map(lambda a, b: a - b, u0, u1)
+        return u0, carry
+
+    @jax.jit
+    def first_step(d):
+        return tail(implicit(d, 0.5 * dt))
+
+    @jax.jit
+    def step(d, carry):
+        return tail(tree_map(lambda a, b: a + b, d, carry))
+
+    return first_step, step

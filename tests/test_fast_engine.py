@@ -1,0 +1,81 @@
+"""Equality of the channel-stacked TPU fast engine vs the reference-layout
+engine (same math, different association order -> fp64 agreement to
+near-roundoff over several steps)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tempestmodel_tpu.config import ModelConfig, GridKind
+from tempestmodel_tpu.models import nh_model
+from tempestmodel_tpu.testcases.nonhydro_sphere import BaroclinicWaveUMJS
+from tempestmodel_tpu import fast
+
+
+def _setup(nsteps=3, **kw):
+    tc = BaroclinicWaveUMJS(pert="exp")
+    cfg = ModelConfig(grid_kind=GridKind.CUBED_SPHERE, ne=4, order=4,
+                      nz=8, ztop=tc.ztop, dt=200.0, hyperdiffusion=True,
+                      nu_scalar=1e15, nu_div=1e15, nu_vort=1e15,
+                      vertical_solver="banded", dtype=jnp.float64, **kw)
+    geom = nh_model.build_nh_sphere_geometry(cfg, ztop=tc.ztop)
+    state = tc.initial_state(geom, cfg.constants, dtype=jnp.float64)
+    return cfg, geom, state
+
+
+def _run_ref(cfg, geom, state, nsteps):
+    first_step, step = nh_model.make_nh_step(cfg, geom)
+    s, c = first_step(state)
+    for _ in range(nsteps - 1):
+        s, c = step(s, c)
+    return s
+
+
+def _run_fast(cfg, geom, state, nsteps):
+    first_step, step = fast.make_fast_step(cfg, geom)
+    X = fast.pack_state(state)
+    X, c = first_step(X)
+    for _ in range(nsteps - 1):
+        X, c = step(X, c)
+    return fast.unpack_state(X, cfg.nz)
+
+
+def _compare(s_ref, s_fast, tol):
+    for k in ("U", "V", "Rt", "W", "Rho"):
+        a = np.asarray(s_ref[k])
+        b = np.asarray(s_fast[k])
+        scale = np.max(np.abs(a)) + 1e-300
+        err = np.max(np.abs(a - b)) / scale
+        assert err < tol, f"{k}: rel err {err:.3e} (tol {tol})"
+
+
+def test_pack_unpack_roundtrip():
+    cfg, geom, state = _setup()
+    X = fast.pack_state(state)
+    back = fast.unpack_state(X, cfg.nz)
+    for k in state:
+        np.testing.assert_array_equal(np.asarray(state[k]),
+                                      np.asarray(back[k]))
+
+
+def test_fast_engine_matches_reference_layout():
+    cfg, geom, state = _setup()
+    s_ref = _run_ref(cfg, geom, state, 3)
+    s_fast = _run_fast(cfg, geom, state, 3)
+    _compare(s_ref, s_fast, 1e-11)
+
+
+def test_fast_engine_matches_ref_jacobian_mode():
+    cfg, geom, state = _setup()
+    cfg = cfg.with_(jacobian_mode="reference")
+    s_ref = _run_ref(cfg, geom, state, 2)
+    s_fast = _run_fast(cfg, geom, state, 2)
+    _compare(s_ref, s_fast, 1e-11)
+
+
+def test_fast_engine_supported_predicate():
+    cfg, _, _ = _setup()
+    assert fast.engine.fast_engine_supported(cfg)
+    assert not fast.engine.fast_engine_supported(
+        cfg.with_(grid_kind=GridKind.CARTESIAN_XZ))
+    assert not fast.engine.fast_engine_supported(cfg, has_tracers=True)
