@@ -4,36 +4,33 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
 
 Flagship: nonhydrostatic UMJS baroclinic wave, cubed sphere ne30 p4 L30
 (the BASELINE.json headline config), float32, Strang-HEVI with nu4
-hyperdiffusion and the batched banded vertical implicit solve.
+hyperdiffusion and the fused implicit vertical solve.
 
-The timed region is a ``lax.scan`` over TM_BENCH_STEPS full Strang steps
-compiled as one program (``models/nh_model.make_nh_multistep``), so no
-per-step Python dispatch is measured.
+Engine: the z-first TPU engine (``tempestmodel_tpu/fast``) — Pallas DSS
+kernels, fused Pallas implicit (aux + residual + analytic banded
+Jacobian + unrolled banded LU in one launch), dense z-batched SE
+operators.  Set TM_BENCH_ENGINE=ref to time the reference-layout engine
+instead (the round-1/2 path; ~3.3x slower, kernel-launch-bound — see
+docs/PERF.md).
 
-Falsifiability (VERDICT round-1 item 2): alongside the throughput the
-bench reports XLA cost-analysis FLOP and bytes-accessed totals for the
-step, the achieved FLOP/s and bytes/s, and the fraction of the chip's
-roofline this represents:
+dt = 100 s: the KGU35 stability bound at ne30 p4 is CFL 2.12
+(TimestepSchemeStrang.cpp:140-197); the previous dt = 200 s violated it
+(CFL ~3.2), so rounds 1-2 timed an exponentially diverging trajectory.
+Per-step cost is dt-independent, so throughput numbers remain
+comparable; the trajectory is now physical.
 
-- ``hbm_frac_ub`` uses XLA's "bytes accessed" (an UPPER bound on real
-  HBM traffic: it counts every HLO operand access, including values
-  that stay resident in VMEM across a fusion), so it can exceed 1.0.
-- ``hbm_frac_lb`` uses the live state footprint x a minimal number of
-  passes (read+write of the full prognostic state once per RK stage,
-  hyperdiffusion pass, and implicit solve) — a LOWER bound on traffic.
-- ``sol_ms_per_step`` = max(flops/peak_flops, bytes_lb/peak_bw): the
-  speed-of-light step time implied by those bounds.
+Falsifiability: alongside throughput the bench reports XLA cost-analysis
+FLOPs, achieved FLOP/s, and HBM-traffic bounds:
+- ``hbm_frac_ub`` uses XLA "bytes accessed" (upper bound, can exceed 1);
+- ``hbm_frac_lb`` uses the live state footprint x minimal passes;
+- ``sol_ms_per_step`` = max(flops/peak_flops, bytes_lb/peak_bw).
 
 vs_baseline is the ratio against the first recorded run of this bench
-on this metric (bench_baseline.json, recorded round 1 = 66.8M
-gridpoint-steps/s); >1.0 = faster than the round-1 recording (the
-reference publishes no numbers of its own, see BASELINE.md).
+(bench_baseline.json, round 1 = 66.2M gridpoint-steps/s); >1.0 = faster.
 
-Per-phase breakdown (reference FunctionTimer taxonomy,
-``src/atm/Model.cpp:520-689``) is included as "phases_ms" unless
-TM_BENCH_PHASES=0: each phase is compiled standalone and timed, which
-over-counts fusion boundaries relative to the fused full step — use it
-for ranking phases, not for absolute accounting.
+Per-phase breakdown ("phases_ms", disable with TM_BENCH_PHASES=0)
+follows the reference FunctionTimer taxonomy (Model.cpp:520-689); each
+phase is compiled standalone — use it for ranking, not absolute sums.
 """
 
 import json
@@ -81,42 +78,49 @@ def main():
     import jax
     import jax.numpy as jnp
     from tempestmodel_tpu.config import ModelConfig, GridKind
-    from tempestmodel_tpu.models import nh_model, nonhydro, hyperdiff
+    from tempestmodel_tpu.models import nh_model
     from tempestmodel_tpu.testcases.nonhydro_sphere import BaroclinicWaveUMJS
 
     ne, nz = 30, 30
     inner = int(os.environ.get("TM_BENCH_STEPS", "10"))
     want_phases = os.environ.get("TM_BENCH_PHASES", "1") != "0"
+    engine = os.environ.get("TM_BENCH_ENGINE", "fast")
 
     tc = BaroclinicWaveUMJS(pert="exp")
     on_tpu = jax.default_backend() != "cpu"
     solver = "pallas" if on_tpu else "banded"
     cfg = ModelConfig(grid_kind=GridKind.CUBED_SPHERE, ne=ne, order=4,
-                      nz=nz, ztop=tc.ztop, dt=200.0, hyperdiffusion=True,
+                      nz=nz, ztop=tc.ztop, dt=100.0, hyperdiffusion=True,
                       nu_scalar=1e15, nu_div=1e15, nu_vort=1e15,
                       vertical_solver=solver, dtype=jnp.float32)
     geom = nh_model.build_nh_sphere_geometry(cfg, ztop=tc.ztop)
     state = tc.initial_state(geom, cfg.constants, dtype=jnp.float32)
     constants = cfg.constants
 
-    first_step, step1 = nh_model.make_nh_step(cfg, geom)
+    if engine == "fast":
+        from tempestmodel_tpu import fast
+        first_step, step1 = fast.make_fast_step(cfg, geom)
+        s0 = fast.pack_state(state)
+        probe = "U"
+    else:
+        first_step, step1 = nh_model.make_nh_step(cfg, geom)
+        s0 = state
+        probe = "Rho"
 
     # Timed region: a python loop of async step dispatches (per-call
-    # latency pipelines away) — the SAME methodology as the recorded
-    # round-1 baseline.  A lax.scan multistep was measured ~20% SLOWER
-    # on v5e (the while-loop carry adds copy + dynamic-update-slice
-    # traffic; see make_nh_multistep for the scan path).
-    state, carry = first_step(state)
-    s, c = step1(state, carry)
-    jax.block_until_ready(s["Rho"])
+    # latency pipelines away).
+    state_b, carry = first_step(s0)
+    s, c = step1(state_b, carry)
+    jax.block_until_ready(s[probe])
+    finite = bool(jax.numpy.all(jax.numpy.isfinite(s[probe])))
 
     per_step = float("inf")
     for _ in range(4):
         t0 = time.perf_counter()
-        s, c = state, carry
+        s, c = state_b, carry
         for _ in range(inner):
             s, c = step1(s, c)
-        jax.block_until_ready(s["Rho"])
+        jax.block_until_ready(s[probe])
         per_step = min(per_step, (time.perf_counter() - t0) / inner)
 
     npts = 6 * (ne * 4) ** 2 * nz
@@ -127,12 +131,15 @@ def main():
     peak_flops, peak_bw = PEAKS.get(
         dev_kind, PEAKS.get(jax.default_backend(), (197e12, 819e9)))
 
-    flops, bytes_ub = _cost(step1.lower(state, carry).compile())
+    flops, bytes_ub = _cost(step1.lower(state_b, carry).compile())
 
     # lower bound on HBM traffic: full prognostic state read+written once
-    # per RK stage (KGU35 = 5), once for hyperdiffusion (2 Laplacian
-    # passes = 2x), once for the implicit solve (+ its aux metric reads).
-    state_bytes = sum(v.size * v.dtype.itemsize for v in state.values())
+    # per RK stage (KGU35 = 5), hyperdiffusion (2 Laplacian passes),
+    # and the implicit solve.
+    state_bytes = sum(
+        v.size * v.dtype.itemsize
+        for v in (state_b.values() if isinstance(state_b, dict)
+                  else jax.tree_util.tree_leaves(state_b)))
     n_passes = 2 * (5 + 2 + 1)
     bytes_lb = n_passes * state_bytes
 
@@ -142,6 +149,8 @@ def main():
         "value": gps,
         "unit": "gridpoint-steps/s",
         "device": dev_kind,
+        "engine": engine,
+        "finite": finite,
         "ms_per_step": per_step * 1e3,
         "gflop_per_step": flops / 1e9,
         "gbytes_ub_per_step": bytes_ub / 1e9,
@@ -155,32 +164,33 @@ def main():
     }
 
     # --- per-phase breakdown (reference Model.cpp:520-689 taxonomy) ----
-    if want_phases:
-        dss_state = nh_model.make_sphere_dss(geom)
-        if solver in ("banded", "pallas"):
-            q = nonhydro.estimate_bandwidth(geom, constants)
-            statics = nonhydro.band_assembly_statics(geom, q)
-        else:
-            q, statics = 0, None
+    if want_phases and engine == "fast":
+        from tempestmodel_tpu.fast import engine as fe
+        from tempestmodel_tpu.fast import implicit as fimp
+        from tempestmodel_tpu.models import nonhydro
+        fg = fe.build_fast_geometry(geom, dtype=cfg.dtype)
+        q = nonhydro.estimate_bandwidth(geom, constants)
+        statics = nonhydro.band_assembly_statics(geom, q)
         phases = {
             "HorizontalStep": jax.jit(
-                lambda st: nonhydro.horizontal_tendency(st, geom, constants)),
-            "VerticalStepExplicit": jax.jit(
-                lambda st: nonhydro.vertical_explicit_increment(
-                    st, geom, cfg.dt)),
+                lambda st: fe.horizontal_tendency(st, fg, constants)),
             "VerticalStepImplicit": jax.jit(
-                lambda st: nonhydro.vertical_implicit(
-                    st, geom, constants, 0.5 * cfg.dt,
-                    newton_iters=cfg.newton_iterations, solver=solver, q=q,
-                    band_statics=statics)),
-            "Communicate": jax.jit(dss_state),
+                lambda st: fimp.vertical_implicit(
+                    st, fg, constants, 0.5 * cfg.dt, q, statics,
+                    use_pallas=(solver == "pallas"))),
+            "Communicate": jax.jit(lambda st: fe.apply_dss(st, fg)),
             "StepAfterSubCycle": jax.jit(
-                lambda st: hyperdiff.step_after_subcycle_nh(
-                    st, cfg.dt, cfg, geom, dss_state, None)),
+                lambda st: fe.step_after_subcycle(st, cfg.dt, cfg, fg)),
         }
-        result["phases_ms"] = {
-            name: _timeit(fn, s, reps=5, outer=3) * 1e3
-            for name, fn in phases.items()}
+        from tempestmodel_tpu.utils.devprof import device_time_ms
+        ph = {}
+        kc = {}
+        for name, fn in phases.items():
+            ms, n = device_time_ms(fn, s)
+            ph[name] = ms
+            kc[name] = n
+        result["phases_ms"] = ph          # device-side kernel time
+        result["phases_kernels"] = kc
 
     # --- vs_baseline ----------------------------------------------------
     baseline_file = os.path.join(os.path.dirname(__file__),

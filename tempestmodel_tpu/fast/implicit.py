@@ -37,9 +37,11 @@ def _prep_aux(d, fg: FastGeometry):
     du_i = fg.diff_n2i @ u_n
     dv_i = fg.diff_n2i @ v_n
 
+    c2 = jnp.stack([fg.c2_aa.reshape(-1), fg.c2_ab.reshape(-1),
+                    fg.c2_ba.reshape(-1), fg.c2_bb.reshape(-1)])
     aux = {
         "u_n": u_n, "v_n": v_n, "u_i": u_i, "v_i": v_i,
-        "du_i": du_i, "dv_i": dv_i,
+        "du_i": du_i, "dv_i": dv_i, "c2": c2,
         "con_a_xi": fl(fg.con_a_xi), "con_b_xi": fl(fg.con_b_xi),
         "con_xi_xi": fl(fg.con_xi_xi),
         "con_a_xi_int": fl(fg.con_a_xi_int),
@@ -322,6 +324,36 @@ def vertical_implicit(d, fg: FastGeometry, constants, dt, q, statics,
     nz = fg.nz
     shp = d["U"].shape[1:]
     x0_parts, aux = _prep_aux(d, fg)
+    ncol = x0_parts[0].shape[1]
+
+    fused = (use_pallas and fg.vo == 1 and statics["has_penalty"]
+             and _pick_col_tile(ncol) >= 128)
+    if fused:
+        from . import pallas_implicit as pim
+        ps = pim.pack_statics(statics, dtype=np.float32
+                              if x0_parts[0].dtype == jnp.float32
+                              else np.float64)
+        mats = {
+            "interp_n2i": fg.interp_n2i, "interp_i2n": fg.interp_i2n,
+            "diff_n2i": fg.diff_n2i, "diff_i2n": fg.diff_i2n,
+            "diffdiff_i2i": fg.diffdiff_i2i,
+            "penalty_left": fg.penalty_left,
+            "penalty_right": fg.penalty_right,
+            "wscat_left": fg.wscat_left, "wscat_right": fg.wscat_right,
+        }
+        ct = _pick_col_tile(ncol)
+        x_parts = x0_parts
+        for it in range(newton_iters):
+            d_rt, d_w, d_rho = pim.fused_implicit_update(
+                x_parts, x0_parts, aux, mats, ps, dt, constants,
+                ref_jacobian=ref_jacobian, newton_time_term=(it > 0),
+                col_tile=ct)
+            x_parts = (x_parts[0] - d_rt, x_parts[1] - d_w,
+                       x_parts[2] - d_rho)
+        rt, w, rho = x_parts
+        return dict(d, Rt=rt.reshape((nz,) + shp),
+                    W=w.reshape((nz + 1,) + shp),
+                    Rho=rho.reshape((nz,) + shp))
 
     x_parts = x0_parts
     for _ in range(newton_iters):

@@ -1,0 +1,408 @@
+"""Fused Pallas TPU kernel: HEVI implicit Newton step in one launch.
+
+Per column tile (ct columns resident in VMEM) this kernel computes, with
+no HBM round trips in between:
+
+  1. the column aux quantities (interface interpolants/derivatives of
+     U, V — ``nonhydro._implicit_aux``),
+  2. the column residual F(x) (``nonhydro._column_residual``),
+  3. the analytic banded Jacobian (``nonhydro.assemble_bands_analytic``,
+     exact or reference mode, driven by the same
+     ``band_assembly_statics`` tensors),
+  4. a statically-unrolled no-pivot banded LU solve
+     (``vertical_banded.banded_solve_t`` algorithm),
+
+and writes the Newton increment (d_rt, d_w, d_rho).  The XLA formulation
+of steps 2-3 materializes the (n, 2q+1, ncol) band tensor (~280 MB at
+ne30 L30 f32) through several layout-changing copies (~5.5 ms measured);
+here bands live only as VMEM values.
+
+Restrictions: Lorenz staggering, vertical order 1 (vo == 1), q as
+derived by ``estimate_bandwidth``.  The interleaved row ordering
+[Rt_k, W_k, Rho_k]*, W_nz is implicit in the static row schedule.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+@dataclasses.dataclass
+class PackedStatics:
+    """Band-assembly statics packed into stackable arrays (host-side)."""
+    q: int
+    nz: int
+    offs0: tuple
+    offs_p1: tuple
+    offs_m1: tuple
+    ow: tuple
+    has_penalty: bool
+    TA: Any          # (n0, nz, nz+1)
+    TB: Any          # (n0, nz+1, nz)
+    DDb: Any         # (n0, nz+1, 1)
+    Di2n_b: Any      # (nw, nz, 1)
+    Dn2i_b: Any      # (nm1, nz+1, 1)
+    In2i_b: Any      # (nw, nz+1, 1)
+    Pl_b: Any        # (n0, nz, 1)
+    Pr_b: Any        # (n0, nz, 1)
+    Ul: Any          # (nw, nz, nfe-1)
+    Ur: Any          # (nw, nz, nfe-1)
+
+
+def pack_statics(statics, dtype=np.float32) -> PackedStatics:
+    offs0 = tuple(statics["offs0"])
+    offs_p1 = tuple(statics["offs_p1"])
+    offs_m1 = tuple(statics["offs_m1"])
+    ow = tuple(sorted(set(offs_p1) | set(offs_m1)))
+    nz = statics["nz"]
+
+    def stk(dic, offs, vec=False):
+        arrs = [np.asarray(dic[o], dtype) for o in offs]
+        out = np.stack(arrs)
+        if vec:
+            out = out[..., None]
+        return out
+
+    kw = {}
+    if statics["has_penalty"]:
+        kw = dict(Pl_b=stk(statics["Pl_b"], offs0, vec=True),
+                  Pr_b=stk(statics["Pr_b"], offs0, vec=True),
+                  Ul=stk(statics["Ul"], ow), Ur=stk(statics["Ur"], ow))
+    else:
+        z_n = np.zeros((len(offs0), nz, 1), dtype)
+        kw = dict(Pl_b=z_n, Pr_b=z_n,
+                  Ul=np.zeros((len(ow), nz, 1), dtype),
+                  Ur=np.zeros((len(ow), nz, 1), dtype))
+    return PackedStatics(
+        q=statics["q"], nz=nz, offs0=offs0, offs_p1=offs_p1,
+        offs_m1=offs_m1, ow=ow, has_penalty=statics["has_penalty"],
+        TA=stk(statics["TA"], offs0), TB=stk(statics["TB"], offs0),
+        DDb=stk(statics["DDb"], offs0, vec=True),
+        Di2n_b=stk(statics["Di2n_b"], ow, vec=True),
+        Dn2i_b=stk(statics["Dn2i_b"], offs_m1, vec=True),
+        In2i_b=stk(statics["In2i_b"], ow, vec=True),
+        **kw)
+
+
+def _shift_rows(b, o, K):
+    """out[k] = b[k + o], zero out of range (values, static; no
+    zero-size pieces — Mosaic rejects 0-length vectors)."""
+    L = b.shape[0]
+    k0, k1 = max(0, -o), min(K, L - o)
+    parts = []
+    if k0 > 0:
+        parts.append(jnp.zeros((k0,) + b.shape[1:], b.dtype))
+    parts.append(b[k0 + o:k1 + o])
+    if K - k1 > 0:
+        parts.append(jnp.zeros((K - k1,) + b.shape[1:], b.dtype))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+
+def _mask_i(nz, ct, dtype):
+    i = jax.lax.broadcasted_iota(jnp.int32, (nz + 1, ct), 0)
+    return ((i > 0) & (i < nz)).astype(dtype)
+
+
+def _dot(a, b):
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=a.dtype)
+
+
+def _kernel(q, nz, dt, constants, ps: PackedStatics, ref_jacobian,
+            newton_time_term,
+            # --- refs ---
+            rt_ref, w_ref, rho_ref, rt0_ref, w0_ref, rho0_ref,
+            un_ref, vn_ref,
+            caxi_ref, cbxi_ref, cxixi_ref, caxii_ref, cbxii_ref,
+            cxixii_ref, jac_ref, jaci_ref, drdxi_ref, c2_ref,
+            In2i_ref, Ii2n_ref, Dn2i_ref, Di2n_ref, DD_ref,
+            Pl_ref, Pr_ref, Wl_ref, Wr_ref,
+            TA_ref, TB_ref, DDb_ref, Di2nb_ref, Dn2ib_ref, In2ib_ref,
+            Plb_ref, Prb_ref, Ul_ref, Ur_ref,
+            drt_ref, dw_ref, drho_ref):
+    c = constants
+    dtype = rt_ref.dtype
+    ct = rt_ref.shape[1]
+    b = 2 * q + 1
+    inv_dt = jnp.asarray(1.0 / dt, dtype)
+
+    rt = rt_ref[...]
+    w = w_ref[...]
+    rho = rho_ref[...]
+    u_n = un_ref[...]
+    v_n = vn_ref[...]
+
+    In2i = In2i_ref[...]
+    Ii2n = Ii2n_ref[...]
+    Dn2i = Dn2i_ref[...]
+    Di2n = Di2n_ref[...]
+    DD = DD_ref[...]
+    Pl = Pl_ref[...]
+    Pr = Pr_ref[...]
+    Wl = Wl_ref[...]
+    Wr = Wr_ref[...]
+
+    caxi = caxi_ref[...]
+    cbxi = cbxi_ref[...]
+    cxixi = cxixi_ref[...]
+    caxii = caxii_ref[...]
+    cbxii = cbxii_ref[...]
+    cXi = cxixii_ref[...]
+    jac = jac_ref[...]
+    jac_i = jaci_ref[...]
+    drdxi = drdxi_ref[...]
+    c2aa = c2_ref[0:1]
+    c2ab = c2_ref[1:2]
+    c2ba = c2_ref[2:3]
+    c2bb = c2_ref[3:4]
+
+    mask = _mask_i(nz, ct, dtype)
+    inv_jac = 1.0 / jac
+
+    # --- aux (nonhydro._implicit_aux) ---------------------------------
+    u_i = _dot(In2i, u_n)
+    v_i = _dot(In2i, v_n)
+    du_i = _dot(Dn2i, u_n)
+    dv_i = _dot(Dn2i, v_n)
+
+    # --- shared primal factors ----------------------------------------
+    w_n = _dot(Ii2n, w)
+    rho_i = _dot(In2i, rho)
+    rt_i = _dot(In2i, rt)
+    pi_n = c.Cp * jnp.exp(
+        c.Rd / (c.Cp - c.Rd) * jnp.log(c.Rd / c.P0 * rt))
+    dpi_drt = (c.Rd / (c.Cp - c.Rd)) * pi_n / rt
+    dpi_i = _dot(Dn2i, pi_n)
+    xid_n = caxi * u_n + cbxi * v_n + cxixi * w_n
+    xid_i = (caxii * u_i + cbxii * v_i + cXi * w) * mask
+    curl_coef = -(caxii * du_i + cbxii * dv_i)
+    ddw = _dot(DD, w) * mask
+    upw_c = 0.5 / nz
+    if ref_jacobian:
+        sgn_xid = jnp.sign(xid_i)
+    else:
+        sgn_xid = jnp.where(xid_i >= 0, 1.0, -1.0).astype(dtype)
+
+    # penalty weights (vo == 1: interior element edges are rows 1..nz-1)
+    wb = jnp.abs(xid_i[1:nz])                       # (nfe-1, ct)
+    wl = _dot(Wl, wb)
+    wr = _dot(Wr, wb)
+    lrt = _dot(Pl, rt)
+    rrt = _dot(Pr, rt)
+    lrho = _dot(Pl, rho)
+    rrho = _dot(Pr, rho)
+    if ref_jacobian:
+        sgn_edge = jnp.sign(xid_i[1:nz]) * cXi[1:nz]
+    else:
+        sgn_edge = jnp.where(xid_i[1:nz] >= 0, 1.0,
+                             -1.0).astype(dtype) * cXi[1:nz]
+
+    # --- residual F(x) (nonhydro._column_residual) --------------------
+    mf_i = jac_i * rho_i * xid_i
+    f_rho = _dot(Di2n, mf_i) * inv_jac
+    pf_i = jac_i * rt_i * xid_i
+    f_rt = _dot(Di2n, pf_i) * inv_jac
+
+    con_ua_n = c2aa * u_n + c2ab * v_n + caxi * w_n
+    con_ub_n = c2ba * u_n + c2bb * v_n + cbxi * w_n
+    ke_n = 0.5 * (con_ua_n * u_n + con_ub_n * v_n + xid_n * w_n)
+    dke_i = _dot(Dn2i, ke_n)
+    con_ua_i = c2aa * u_i + c2ab * v_i + caxii * w
+    con_ub_i = c2ba * u_i + c2bb * v_i + cbxii * w
+    curl = -con_ua_i * du_i - con_ub_i * dv_i
+    pgf = dpi_i * rt_i / rho_i
+    f_w = (pgf + c.g * drdxi + dke_i + curl) * mask
+    f_rt = f_rt - lrt * wl - rrt * wr
+    f_rho = f_rho - lrho * wl - rrho * wr
+    f_w = (f_w - upw_c * jnp.abs(xid_i) * ddw) * mask
+    if newton_time_term:
+        f_rt = f_rt + (rt - rt0_ref[...]) * inv_dt
+        f_w = f_w + (w - w0_ref[...]) * inv_dt
+        f_rho = f_rho + (rho - rho0_ref[...]) * inv_dt
+
+    # --- band assembly (nonhydro.assemble_bands_analytic) -------------
+    d1 = jac_i * xid_i
+    e_rt = jac_i * rt_i * cXi * mask
+    e_rho = jac_i * rho_i * cXi * mask
+    inv_rho_i = 1.0 / rho_i
+    r1 = rt_i * inv_rho_i
+    r2 = dpi_i * inv_rho_i
+    r3 = -dpi_i * rt_i * inv_rho_i * inv_rho_i
+
+    zn = jnp.zeros((nz, ct), dtype)
+    zi = jnp.zeros((nz + 1, ct), dtype)
+    rt_slots = [zn] * b
+    rho_slots = [zn] * b
+    w_slots = [zi] * b
+
+    i0 = {o: i for i, o in enumerate(ps.offs0)}
+    ip1 = {o: i for i, o in enumerate(ps.offs_p1)}
+    im1 = {o: i for i, o in enumerate(ps.offs_m1)}
+    iw = {o: i for i, o in enumerate(ps.ow)}
+
+    for o in ps.offs0:
+        d = q + 3 * o
+        val = inv_jac * _dot(TA_ref[i0[o]], d1)
+        val = val - wl * Plb_ref[i0[o]] - wr * Prb_ref[i0[o]]
+        if o == 0:
+            val = val + inv_dt
+        rt_slots[d] = rt_slots[d] + val
+        rho_slots[d] = rho_slots[d] + val
+
+    for o in ps.offs_p1:
+        d = q + 3 * o + 1
+        v_rt = inv_jac * Di2nb_ref[iw[o]] * _shift_rows(e_rt, o, nz)
+        if ps.has_penalty:
+            v_rt = v_rt - lrt * _dot(Ul_ref[iw[o]], sgn_edge) \
+                - rrt * _dot(Ur_ref[iw[o]], sgn_edge)
+        rt_slots[d] = rt_slots[d] + v_rt
+
+    for o in ps.offs_m1:
+        d = q + 3 * o - 1
+        v_rho = inv_jac * Di2nb_ref[iw[o]] * _shift_rows(e_rho, o, nz)
+        if ps.has_penalty:
+            v_rho = v_rho - lrho * _dot(Ul_ref[iw[o]], sgn_edge) \
+                - rrho * _dot(Ur_ref[iw[o]], sgn_edge)
+        rho_slots[d] = rho_slots[d] + v_rho
+
+    for o in ps.offs_m1:
+        d = q + 3 * o - 1
+        v = mask * (r1 * Dn2ib_ref[im1[o]]
+                    * _shift_rows(dpi_drt, o, nz + 1)
+                    + r2 * In2ib_ref[iw[o]])
+        w_slots[d] = w_slots[d] + v
+
+    for o in ps.offs_p1:
+        d = q + 3 * o + 1
+        w_slots[d] = w_slots[d] + mask * r3 * In2ib_ref[iw[o]]
+
+    for o in ps.offs0:
+        d = q + 3 * o
+        val = _dot(TB_ref[i0[o]], xid_n)
+        val = val - upw_c * jnp.abs(xid_i) * DDb_ref[i0[o]]
+        if o == 0:
+            val = val - upw_c * sgn_xid * ddw * cXi * mask
+            if not ref_jacobian:
+                val = val + curl_coef
+        val = val * mask
+        if o >= 1:
+            li = jax.lax.broadcasted_iota(jnp.int32, (nz + 1, ct), 0)
+            last_col = (li == nz - o).astype(dtype)
+            w_slots[d - 1] = w_slots[d - 1] + val * last_col
+            val = val * (1.0 - last_col)
+        if o == 0:
+            val = val + inv_dt
+        w_slots[d] = w_slots[d] + val
+
+    # --- statically-unrolled no-pivot banded LU -----------------------
+    # interleaved rows: i = 3k -> Rt_k, 3k+1 -> W_k, 3k+2 -> Rho_k, 3nz -> W_nz
+    n = 3 * nz + 1
+
+    def band_row(i):
+        if i == 3 * nz:
+            k, slots, rhs = nz, w_slots, f_w
+        elif i % 3 == 0:
+            k, slots, rhs = i // 3, rt_slots, f_rt
+        elif i % 3 == 1:
+            k, slots, rhs = i // 3, w_slots, f_w
+        else:
+            k, slots, rhs = i // 3, rho_slots, f_rho
+        # keep every row value 2-D (1, ct): Mosaic-friendly shapes
+        return [s[k:k + 1] for s in slots], rhs[k:k + 1]
+
+    u_hist = [None] * n
+    y_hist = [None] * n
+    for i in range(n):
+        wrow, y_i = band_row(i)
+        for t in range(q):
+            r = i - q + t
+            if r < 0:
+                continue
+            f_ = wrow[t] / u_hist[r][0]
+            for j in range(q):
+                wrow[t + 1 + j] = wrow[t + 1 + j] - f_ * u_hist[r][1 + j]
+            y_i = y_i - f_ * y_hist[r]
+        u_hist[i] = wrow[q:]
+        y_hist[i] = y_i
+
+    x_sol = [None] * n
+    for i in range(n - 1, -1, -1):
+        acc = y_hist[i]
+        for dd in range(q):
+            if i + dd + 1 < n:
+                acc = acc - u_hist[i][dd + 1] * x_sol[i + dd + 1]
+        x_sol[i] = acc / u_hist[i][0]
+
+    drt_ref[...] = jnp.concatenate([x_sol[3 * k] for k in range(nz)])
+    dw_ref[...] = jnp.concatenate([x_sol[3 * k + 1] for k in range(nz)]
+                                  + [x_sol[3 * nz]])
+    drho_ref[...] = jnp.concatenate([x_sol[3 * k + 2] for k in range(nz)])
+
+
+def fused_implicit_update(x_parts, x0_parts, aux_flat, mats, ps:
+                          PackedStatics, dt, constants,
+                          ref_jacobian=False, newton_time_term=False,
+                          col_tile: int = 512, interpret=None):
+    """Newton increment (d_rt, d_w, d_rho) = J^{-1} F for every column.
+
+    ``x_parts``/``x0_parts``: (rt, w, rho) with shapes (nz|nz+1, ncol);
+    ``aux_flat``: dict of column-flattened aux/geometry arrays; ``mats``:
+    dict of the small vertical operator matrices.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    nz = ps.nz
+    q = ps.q
+    rt, w, rho = x_parts
+    ncol = rt.shape[1]
+    dtype = rt.dtype
+    assert ncol % col_tile == 0, (ncol, col_tile)
+    grid = (ncol // col_tile,)
+
+    def colspec(rows):
+        return pl.BlockSpec((rows, col_tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    def whole(a):
+        nd = a.ndim
+        return pl.BlockSpec(a.shape, (lambda nd_: lambda i: (0,) * nd_)(nd),
+                            memory_space=pltpu.VMEM)
+
+    col_inputs = [
+        rt, w, rho, x0_parts[0], x0_parts[1], x0_parts[2],
+        aux_flat["u_n"], aux_flat["v_n"],
+        aux_flat["con_a_xi"], aux_flat["con_b_xi"], aux_flat["con_xi_xi"],
+        aux_flat["con_a_xi_int"], aux_flat["con_b_xi_int"],
+        aux_flat["con_xi_xi_int"], aux_flat["jac"], aux_flat["jac_int"],
+        aux_flat["deriv_r_int"], aux_flat["c2"],
+    ]
+    small = [mats["interp_n2i"], mats["interp_i2n"], mats["diff_n2i"],
+             mats["diff_i2n"], mats["diffdiff_i2i"],
+             mats["penalty_left"], mats["penalty_right"],
+             mats["wscat_left"], mats["wscat_right"]]
+    stat = [jnp.asarray(a, dtype) for a in
+            (ps.TA, ps.TB, ps.DDb, ps.Di2n_b, ps.Dn2i_b, ps.In2i_b,
+             ps.Pl_b, ps.Pr_b, ps.Ul, ps.Ur)]
+
+    in_specs = ([colspec(a.shape[0]) for a in col_inputs]
+                + [whole(a) for a in small]
+                + [whole(a) for a in stat])
+
+    kern = functools.partial(_kernel, q, nz, float(dt), constants, ps,
+                             bool(ref_jacobian), bool(newton_time_term))
+    return pl.pallas_call(
+        kern, grid=grid, in_specs=in_specs,
+        out_specs=(colspec(nz), colspec(nz + 1), colspec(nz)),
+        out_shape=(jax.ShapeDtypeStruct((nz, ncol), dtype),
+                   jax.ShapeDtypeStruct((nz + 1, ncol), dtype),
+                   jax.ShapeDtypeStruct((nz, ncol), dtype)),
+        interpret=interpret,
+    )(*col_inputs, *small, *stat)
