@@ -70,6 +70,8 @@ class FastGeometry:
     # dense (A, A) horizontal operators
     DA: Any          # strong derivative: out_i = sum_s DA[i,s] f_s
     Sd: Any          # stiffness/delta:   weak_div = -(Sd@fa + fb@Sd^T)
+    DA_elem: Any     # (p, p) raw GLL derivative matrix D[s, i]
+    S_elem: Any      # (p, p) raw stiffness matrix S[i, s]
     # vertical column operators (same matrices as CubedSphereGeometry)
     interp_n2i: Any
     interp_i2n: Any
@@ -142,7 +144,7 @@ def build_fast_geometry(geom: CubedSphereGeometry,
         nz=nz, p=p, ne=ne, A=A, vo=geom.vo, is_xz=False, delta=delta,
         reference_length=float(geom.reference_length),
         dss_links=tuple(geom.edge_meta),
-        DA=c(DA), Sd=c(Sd),
+        DA=c(DA), Sd=c(Sd), DA_elem=D, S_elem=S,
         interp_n2i=c(geom.interp_n2i), interp_i2n=c(geom.interp_i2n),
         diff_n2n=c(geom.diff_n2n), diff_n2i=c(geom.diff_n2i),
         diff_i2n=c(geom.diff_i2n), diff_i2i=c(geom.diff_i2i),
@@ -200,10 +202,13 @@ def hweak_grad(f, fg: FastGeometry):
 
 
 def colop(M, f):
-    """Vertical column operator over the leading z axis."""
-    shp = f.shape
-    out = M @ f.reshape(shp[0], -1)
-    return out.reshape((M.shape[0],) + shp[1:])
+    """Vertical column operator over the leading z axis.
+
+    einsum form, NOT ``(M @ f.reshape(K, -1)).reshape(...)``: the
+    explicit flatten forces a tiled-layout-changing reshape kernel on
+    TPU (~16 us each), while the einsum lowers to one dot (measured
+    3.8x faster for a colop pair)."""
+    return jnp.einsum("KL,L...->K...", M, f)
 
 
 # ---------------------------------------------------------------------------
@@ -470,10 +475,21 @@ def make_fast_step(cfg: ModelConfig, geom: CubedSphereGeometry,
         return tree_map(
             lambda *xs: sum(c * x for c, x in zip(coeffs, xs)), *states)
 
+    use_fused_stage = (fg.vo == 1 and fg.A % 8 == 0 and fg.p <= 8
+                       and 8 % fg.p == 0)
+
     def stage(base, ueval, dt_s):
-        tend = horizontal_tendency(ueval, fg, constants)
-        upd = axpy(base, tend, dt_s)
-        upd = apply_w_boundary(upd, fg)
+        """base: state dict or 2-term ((c1, d1), (c2, d2)) combination
+        (folded into the fused stage kernel when available)."""
+        if use_fused_stage:
+            from .stage_pallas import fused_stage
+            upd = fused_stage(base, ueval, dt_s, fg, constants)
+        else:
+            if isinstance(base, tuple):
+                base = comb(*base)
+            tend = horizontal_tendency(ueval, fg, constants)
+            upd = axpy(base, tend, dt_s)
+            upd = apply_w_boundary(upd, fg)
         return apply_dss(upd, fg)
 
     def erk(X0):
@@ -489,15 +505,15 @@ def make_fast_step(cfg: ModelConfig, geom: CubedSphereGeometry,
             return stage(base, u3, dt / 6.0)
         if scheme == ExplicitSubScheme.SSPRK3:
             u1 = stage(X0, X0, dt)
-            u2 = stage(comb((0.75, X0), (0.25, u1)), u1, 0.25 * dt)
-            return stage(comb((1.0 / 3.0, X0), (2.0 / 3.0, u2)),
+            u2 = stage(((0.75, X0), (0.25, u1)), u1, 0.25 * dt)
+            return stage(((1.0 / 3.0, X0), (2.0 / 3.0, u2)),
                          u2, 2.0 * dt / 3.0)
         if scheme == ExplicitSubScheme.KGU35:
             u1 = stage(X0, X0, dt / 5.0)
             u2 = stage(X0, u1, dt / 5.0)
             u3 = stage(X0, u2, dt / 3.0)
             u2b = stage(X0, u3, 2.0 * dt / 3.0)
-            return stage(comb((-0.25, X0), (1.25, u1)), u2b, 0.75 * dt)
+            return stage(((-0.25, X0), (1.25, u1)), u2b, 0.75 * dt)
         if scheme == ExplicitSubScheme.SSPRK53:
             c1 = 0.377268915331368
             c3 = 0.242995220537396
@@ -505,12 +521,12 @@ def make_fast_step(cfg: ModelConfig, geom: CubedSphereGeometry,
             c5 = 0.287632146308408
             u1 = stage(X0, X0, c1 * dt)
             u2 = stage(u1, u1, c1 * dt)
-            u3 = stage(comb((0.355909775063327, X0),
-                            (0.644090224936674, u2)), u2, c3 * dt)
-            u0b = stage(comb((0.367933791638137, X0),
-                             (0.632066208361863, u3)), u3, c4 * dt)
-            return stage(comb((0.762406163401431, u0b),
-                              (0.237593836598569, u2)), u0b, c5 * dt)
+            u3 = stage(((0.355909775063327, X0),
+                        (0.644090224936674, u2)), u2, c3 * dt)
+            u0b = stage(((0.367933791638137, X0),
+                         (0.632066208361863, u3)), u3, c4 * dt)
+            return stage(((0.762406163401431, u0b),
+                          (0.237593836598569, u2)), u0b, c5 * dt)
         raise ValueError(f"unsupported explicit scheme {scheme}")
 
     def implicit(d, dti):
@@ -537,3 +553,21 @@ def make_fast_step(cfg: ModelConfig, geom: CubedSphereGeometry,
         return tail(tree_map(lambda a, b: a + b, d, carry))
 
     return first_step, step
+
+
+def make_fast_multistep(cfg: ModelConfig, geom: CubedSphereGeometry,
+                        inner_steps: int, ref_state=None):
+    """K fast steps fused under one jit with lax.scan (removes per-step
+    dispatch latency; the dict-of-arrays carry keeps scan copies small)."""
+    first_step, step = make_fast_step(cfg, geom, ref_state)
+
+    @jax.jit
+    def multi(d, carry):
+        def body(sc, _):
+            s, c = step(*sc)
+            return (s, c), None
+        (s, c), _ = jax.lax.scan(body, (d, carry), None,
+                                 length=inner_steps)
+        return s, c
+
+    return first_step, multi

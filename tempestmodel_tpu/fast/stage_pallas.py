@@ -1,0 +1,262 @@
+"""Fused Pallas TPU kernel: one explicit RK stage of the NH dynamics.
+
+Split of one RK stage (= the reference's ``StepNonhydrostaticPrimitive``
+hot loop, ``HorizontalDynamicsFEM.cpp:701-1786``, plus
+``VerticalDynamicsFEM::StepExplicit`` penalty upwinding and the bottom-W
+boundary) between XLA and one Pallas kernel:
+
+- XLA pre-pass: the vertical column operators (w_n, du/dxi, dv/dxi,
+  xidot, penalty increments) — clean leading-axis GEMMs that XLA already
+  executes near bandwidth (Mosaic cannot contract the leading axis of a
+  (K, ac, B) block without an unsupported lane-merge reshape, so these
+  stay outside).
+- Pallas kernel, per (panel, A-chunk) tile: all horizontal derivatives
+  (element-local A-contraction unrolled as scaled adds; B-contraction as
+  one (K*ac, B) x (B, B) MXU GEMM), the full nonlinear tendency algebra,
+  and the axpy ``base + dt_s * tend`` for U/V/Rt/Rho; outputs also the
+  vertical-momentum forcing ucz_x.
+- XLA post-pass: dW = interp_n2i @ ucz_x (masked), the W axpy, and the
+  diagnostic bottom-W boundary from the updated velocities.
+
+The math is the port in ``fast/engine.horizontal_tendency`` /
+``apply_w_boundary``; DSS follows separately (``fast/dss_pallas``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .engine import colop
+
+
+def _db(x, DAT):
+    """B-contraction: out[..., i] = sum_s x[..., s] * DAT[s, i] (GEMM)."""
+    K, ac, B = x.shape
+    out = jax.lax.dot_general(x.reshape(K * ac, B), DAT,
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=x.dtype)
+    return out.reshape(K, ac, B)
+
+
+def _da(x, M, delta, p):
+    """A-contraction within the chunk, element-local p-point stencil
+    unrolled as scaled adds: out_i = sum_s (M[s, i] / delta) * x_s."""
+    K, ac, B = x.shape
+    pieces = []
+    for e in range(ac // p):
+        for i in range(p):
+            acc = None
+            for s in range(p):
+                term = (M[s, i] / delta) * x[:, e * p + s:e * p + s + 1, :]
+                acc = term if acc is None else acc + term
+            pieces.append(acc)
+    return jnp.concatenate(pieces, axis=1)
+
+
+def _kernel(nz, p, delta, D, S, g, two_base,
+            u_ref, v_ref, rt_ref, rho_ref, wn_ref, duxi_ref, dvxi_ref,
+            bu_ref, bv_ref, brt_ref, brho_ref,
+            b2u_ref, b2v_ref, b2rt_ref, b2rho_ref, pu_ref, pv_ref,
+            caxi_ref, cbxi_ref, cxixi_ref, jac_ref, dra_ref, drb_ref,
+            m2d_ref, SdT_ref, DAT_ref, dts_ref,
+            ou_ref, ov_ref, ort_ref, orho_ref, oucz_ref):
+    def rd(ref):
+        x = ref[...]
+        return x.reshape(x.shape[0], x.shape[2], x.shape[3])
+
+    dt_s = dts_ref[0, 0]
+    cb1 = dts_ref[0, 1]
+    cb2 = dts_ref[0, 2]
+
+    def base(ref1, ref2):
+        # base = cb1 * b1 + cb2 * b2 (the RK linear combination), fused
+        # into the stage so combined bases never round-trip HBM
+        if two_base:
+            return cb1 * rd(ref1) + cb2 * rd(ref2)
+        return rd(ref1)
+    u = rd(u_ref)
+    v = rd(v_ref)
+    rt = rd(rt_ref)
+    rho = rd(rho_ref)
+    w_n = rd(wn_ref)
+    du_dxi = rd(duxi_ref)
+    dv_dxi = rd(dvxi_ref)
+    caxi = rd(caxi_ref)
+    cbxi = rd(cbxi_ref)
+    cxixi = rd(cxixi_ref)
+    jac = rd(jac_ref)
+    dra = rd(dra_ref)
+    drb = rd(drb_ref)
+    m2d = rd(m2d_ref)            # (5, ac, B): c2aa, c2ab, c2ba, c2bb, fj
+    c2aa = m2d[0:1]
+    c2ab = m2d[1:2]
+    c2ba = m2d[2:3]
+    c2bb = m2d[3:4]
+    fj = m2d[4:5]
+    SdT = SdT_ref[...]
+    DAT = DAT_ref[...]
+
+    Cp, Rd, P0, grav = g
+
+    con_ua = c2aa * u + c2ab * v + caxi * w_n
+    con_ub = c2ba * u + c2bb * v + cbxi * w_n
+    con_ux = caxi * u + cbxi * v + cxixi * w_n
+
+    ke = 0.5 * (con_ua * u + con_ub * v + con_ux * w_n)
+    exner = Cp * jnp.exp(Rd / (Cp - Rd) * jnp.log(Rd / P0 * rt))
+
+    dv_da = _da(v, D, delta, p)
+    du_db = _db(u, DAT)
+    dwn_da = _da(w_n, D, delta, p)
+    dwn_db = _db(w_n, DAT)
+
+    jzeta_a = dwn_db - dv_dxi
+    jzeta_b = du_dxi - dwn_da
+    jzeta_x = dv_da - du_db
+
+    ucz_a = con_ub * jzeta_x - con_ux * jzeta_b
+    ucz_b = con_ux * jzeta_a - con_ua * jzeta_x
+    ucz_x = -con_ua * dwn_da - con_ub * dwn_db
+
+    base_a = jac * con_ua
+    base_b = jac * con_ub
+    # weak_div = -(A-part + B-part); A-part element-local, B via SdT GEMM
+    div_rho = -(_da(base_a * rho, S.T, delta, p) + _db(base_b * rho, SdT))
+    div_rt = -(_da(base_a * rt, S.T, delta, p) + _db(base_b * rt, SdT))
+
+    dke_a = _da(ke, D, delta, p)
+    dke_b = _db(ke, DAT)
+    dpi_a = _da(exner, D, delta, p)
+    dpi_b = _db(exner, DAT)
+
+    theta = rt / rho
+
+    dU = (ucz_a + fj * con_ub - (dpi_a * theta + dke_a + grav * dra))
+    dV = (ucz_b - fj * con_ua - (dpi_b * theta + dke_b + grav * drb))
+    dRho = -div_rho / jac
+    dRt = -div_rt / jac
+
+    dU = dU + rd(pu_ref)
+    dV = dV + rd(pv_ref)
+
+    def wr_out(ref, val):
+        K, ac, B = val.shape
+        ref[...] = val.reshape(K, 1, ac, B)
+
+    wr_out(ou_ref, base(bu_ref, b2u_ref) + dt_s * dU)
+    wr_out(ov_ref, base(bv_ref, b2v_ref) + dt_s * dV)
+    wr_out(ort_ref, base(brt_ref, b2rt_ref) + dt_s * dRt)
+    wr_out(orho_ref, base(brho_ref, b2rho_ref) + dt_s * dRho)
+    wr_out(oucz_ref, ucz_x)
+
+
+def fused_stage(base, ueval, dt_s, fg, constants, ac: int = 8,
+                interpret=None):
+    """One RK stage update: base + dt_s * tendency(ueval), W boundary
+    applied; returns the pre-DSS updated state dict.
+
+    ``base``: a state dict, or ``((c1, d1), (c2, d2))`` — a two-term RK
+    linear combination evaluated inside the kernel (for U/V/Rt/Rho) so
+    the combined base never round-trips HBM."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    two_base = isinstance(base, tuple)
+    if two_base:
+        (cb1, base1), (cb2, base2) = base
+    else:
+        cb1, base1, cb2, base2 = 1.0, base, 0.0, base
+    nz, p = fg.nz, fg.p
+    A = fg.A
+    dtype = base1["U"].dtype
+    assert A % ac == 0 and ac % p == 0
+    grid = (6, A // ac)
+
+    npdt = np.float64 if dtype == jnp.float64 else np.float32
+    D = np.asarray(fg.DA_elem, npdt)
+    S = np.asarray(fg.S_elem, npdt)
+    delta = fg.delta
+
+    u, v, w = ueval["U"], ueval["V"], ueval["W"]
+
+    # --- XLA pre-pass: vertical column operators ----------------------
+    w_n = colop(fg.interp_i2n, w)
+    du_dxi = colop(fg.diff_n2n, u)
+    dv_dxi = colop(fg.diff_n2n, v)
+    u_i = colop(fg.interp_n2i, u)
+    v_i = colop(fg.interp_n2i, v)
+    xid = (fg.con_a_xi_int * u_i + fg.con_b_xi_int * v_i
+           + fg.con_xi_xi_int * w)
+    xid = xid.at[0].set(0.0).at[-1].set(0.0)
+    if fg.penalty_left is not None and nz // fg.vo > 1:
+        wb = jnp.abs(xid[fg.vo:nz:fg.vo])
+        wl = colop(fg.wscat_left, wb)
+        wr = colop(fg.wscat_right, wb)
+        pen_u = colop(fg.penalty_left, u) * wl \
+            + colop(fg.penalty_right, u) * wr
+        pen_v = colop(fg.penalty_left, v) * wl \
+            + colop(fg.penalty_right, v) * wr
+    else:
+        pen_u = jnp.zeros_like(u)
+        pen_v = jnp.zeros_like(v)
+
+    m2d = jnp.stack([fg.c2_aa, fg.c2_ab, fg.c2_ba, fg.c2_bb, fg.fj])
+
+    def spec(K):
+        return pl.BlockSpec((K, 1, ac, A), lambda ip, ia: (0, ip, ia, 0),
+                            memory_space=pltpu.VMEM)
+
+    def whole(a):
+        nd = a.ndim
+        return pl.BlockSpec(a.shape, (lambda n: lambda ip, ia: (0,) * n)(nd),
+                            memory_space=pltpu.VMEM)
+
+    SdT = jnp.asarray(np.asarray(fg.Sd).T, dtype)
+    DAT = jnp.asarray(np.asarray(fg.DA).T, dtype)
+    dts = jnp.asarray([[dt_s, cb1, cb2]], dtype)
+
+    field_in = [u, v, ueval["Rt"], ueval["Rho"], w_n, du_dxi, dv_dxi,
+                base1["U"], base1["V"], base1["Rt"], base1["Rho"],
+                base2["U"], base2["V"], base2["Rt"], base2["Rho"],
+                pen_u, pen_v,
+                fg.con_a_xi, fg.con_b_xi, fg.con_xi_xi,
+                fg.jac3d, fg.deriv_r_a, fg.deriv_r_b, m2d]
+    small_in = [SdT, DAT]
+
+    in_specs = ([spec(a.shape[0]) for a in field_in]
+                + [whole(a) for a in small_in]
+                + [pl.BlockSpec((1, 3), lambda ip, ia: (0, 0),
+                                memory_space=pltpu.SMEM)])
+
+    g = (float(constants.Cp), float(constants.Rd), float(constants.P0),
+         float(constants.g))
+    kern = functools.partial(_kernel, nz, p, delta, D, S, g, two_base)
+
+    shp_n = u.shape
+    out_u, out_v, out_rt, out_rho, ucz_x = pl.pallas_call(
+        kern, grid=grid, in_specs=in_specs,
+        out_specs=tuple(spec(nz) for _ in range(5)),
+        out_shape=tuple(jax.ShapeDtypeStruct(shp_n, dtype)
+                        for _ in range(5)),
+        interpret=interpret,
+    )(*field_in, *small_in, dts)
+
+    # --- XLA post-pass: W update + diagnostic bottom boundary ---------
+    dW = colop(fg.interp_n2i, ucz_x)
+    dW = dW.at[0].set(0.0).at[-1].set(0.0)
+    base_w = (cb1 * base1["W"] + cb2 * base2["W"]) if two_base \
+        else base1["W"]
+    out_w = base_w + dt_s * dW
+    u0 = colop(fg.interp_n2i[0:1], out_u)[0]
+    v0 = colop(fg.interp_n2i[0:1], out_v)[0]
+    w0 = -(fg.con_a_xi_int[0] * u0 + fg.con_b_xi_int[0] * v0) \
+        / fg.con_xi_xi_int[0]
+    out_w = out_w.at[0].set(w0)
+
+    return {"U": out_u, "V": out_v, "Rt": out_rt, "Rho": out_rho,
+            "W": out_w}
