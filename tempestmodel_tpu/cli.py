@@ -143,7 +143,13 @@ _VMETHOD = {"v1": "banded", "v2": "pallas", "schur": "schur",
 
 
 def main(argv=None):
+    from .utils.announce import (announce, announce_banner, block,
+                                 announce_set_verbosity,
+                                 announce_only_rank_zero)
     args = make_parser().parse_args(argv)
+    announce_only_rank_zero()
+    if getattr(args, "verbose", False):
+        announce_set_verbosity(2)
     if not args.fp32:
         import jax
         jax.config.update("jax_enable_x64", True)
@@ -215,12 +221,23 @@ def main(argv=None):
         oms.append(CompositeCheckpoint(
             parse_duration_seconds(args.output_restart_dt), args.output_dir))
 
-    m = Model(cfg, tc, output_managers=oms, workflow_processes=wps,
-              verbose=args.verbose)
+    announce_banner("MODEL SETUP")
+    with block("Initializing model"):
+        announce(f"case: {args.case}")
+        announce(f"grid: {cfg.grid_kind.value} resolution="
+                 f"{getattr(cfg, 'ne', cfg.nex)} levels={cfg.nz} "
+                 f"order={cfg.order}")
+        announce(f"timescheme: {cfg.timescheme.value} dt={cfg.dt}s "
+                 f"vstagger={cfg.vertical_staggering.value}")
+        m = Model(cfg, tc, output_managers=oms, workflow_processes=wps,
+                  verbose=args.verbose)
     if args.restart_file:
-        m.restart_from(args.restart_file, perturb=args.perturb_restart)
+        with block("Restoring from restart file"):
+            m.restart_from(args.restart_file, perturb=args.perturb_restart)
 
-    m.go(end_time=args.endtime, nsteps=args.nsteps)
+    announce_banner("EXECUTION")
+    with block("Time integration"):
+        m.go(end_time=args.endtime, nsteps=args.nsteps)
 
     if m.reference is not None and not args.norefstate:
         norms = m.compute_error_norms()

@@ -180,6 +180,7 @@ def build_cartesian_geometry(
     rayleigh=None,
     bc_x: str = "periodic",
     bc_y: str = "periodic",
+    staggering: str = "LOR",
     dtype=jnp.float64,
 ) -> CartesianGeometry:
     """Precompute the Cartesian geometry pytree (host-side float64).
@@ -245,7 +246,10 @@ def build_cartesian_geometry(
     dtopo[..., 1] = np.einsum("Pasbt,ti->Pasbi", topo_e, D).reshape(1, A, B) / db
 
     # vertical coordinate + column operators
-    ops = co.build_column_ops(nz, vertical_order, stretch)
+    if staggering == "INT":
+        ops = co.build_column_ops_interfaces(nz, vertical_order, stretch)
+    else:
+        ops = co.build_column_ops(nz, vertical_order, stretch)
     reta_lev, reta_int = ops.reta_lev, ops.reta_int
 
     zs = topo[..., None]           # (1, A, B, 1)
@@ -301,9 +305,14 @@ def build_cartesian_geometry(
         diff_i2i=cast(ops.diff_i2i),
         diffdiff_n2n=cast(ops.diffdiff_n2n),
         diffdiff_i2i=cast(ops.diffdiff_i2i),
-        penalty_left=cast(ops.penalty_left),
-        penalty_right=cast(ops.penalty_right),
-        wscat_left=cast(ops.wscat_left), wscat_right=cast(ops.wscat_right),
+        penalty_left=(None if ops.penalty_left is None
+                      else cast(ops.penalty_left)),
+        penalty_right=(None if ops.penalty_right is None
+                       else cast(ops.penalty_right)),
+        wscat_left=(None if ops.wscat_left is None
+                    else cast(ops.wscat_left)),
+        wscat_right=(None if ops.wscat_right is None
+                     else cast(ops.wscat_right)),
         bc_x=bc_x, bc_y=bc_y,
     )
 

@@ -326,6 +326,7 @@ def build_geometry(
     vertical_order: int = 1,
     stretch=None,
     rayleigh=None,
+    staggering: str = "LOR",
     dtype=jnp.float64,
 ) -> CubedSphereGeometry:
     """Precompute the full geometry pytree (host-side, float64).
@@ -414,7 +415,10 @@ def build_geometry(
 
     # --- vertical coordinate + column operators ---
     # (reference GridGLL::InitializeVerticalCoordinate, GridGLL.cpp:470-550)
-    ops = co.build_column_ops(nz, vertical_order, stretch)
+    if staggering == "INT":
+        ops = co.build_column_ops_interfaces(nz, vertical_order, stretch)
+    else:
+        ops = co.build_column_ops(nz, vertical_order, stretch)
     reta_lev, reta_int = ops.reta_lev, ops.reta_int
     w_lev, w_int = ops.na_lev, ops.na_int
 
@@ -480,7 +484,12 @@ def build_geometry(
         diff_i2i=cast(ops.diff_i2i),
         diffdiff_n2n=cast(ops.diffdiff_n2n),
         diffdiff_i2i=cast(ops.diffdiff_i2i),
-        penalty_left=cast(ops.penalty_left),
-        penalty_right=cast(ops.penalty_right),
-        wscat_left=cast(ops.wscat_left), wscat_right=cast(ops.wscat_right),
+        penalty_left=(None if ops.penalty_left is None
+                      else cast(ops.penalty_left)),
+        penalty_right=(None if ops.penalty_right is None
+                       else cast(ops.penalty_right)),
+        wscat_left=(None if ops.wscat_left is None
+                    else cast(ops.wscat_left)),
+        wscat_right=(None if ops.wscat_right is None
+                     else cast(ops.wscat_right)),
     )

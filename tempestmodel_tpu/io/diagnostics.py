@@ -86,3 +86,88 @@ def error_norms(state: dict, reference: dict, area, area_int=None):
             "linf_rel": jnp.where(rinf > 0, linf / rinf, linf),
         }
     return out
+
+
+# ---------------------------------------------------------------------------
+# 3-D conservation integrals (reference Grid::ComputeTotalEnergy /
+# ComputeTotalPotentialEnstrophy / ComputeTotalVerticalMomentum,
+# ``src/atm/GridPatch.cpp:925-1290``, reduced over patches in
+# ``Grid.cpp:968-1100``)
+# ---------------------------------------------------------------------------
+
+def nh_total_energy(state, geom, constants):
+    """Total energy (kinetic + internal + potential) of the NH state.
+
+    Follows the reference split by vertical staggering
+    (``GridPatch.cpp:1002-1135``): with W on interfaces (LOR/CPH), the
+    level integral carries u.u WITHOUT the g^xixi W^2 term (cross terms
+    g^xi_a u W + g^xi_b v W included, W interpolated to levels), and the
+    g^xixi W^2 kinetic energy integrates on interfaces with the
+    interpolated density; with W on levels (LEV/INT), everything
+    integrates on levels.
+    """
+    import jax.numpy as jnp
+    from ..models.nonhydro import colop, infer_stagger
+
+    u, v, w = state["U"], state["V"], state["W"]
+    rho, rt = state["Rho"], state["Rt"]
+    nz = geom.nz
+    stagger = infer_stagger(state, nz)
+    c2 = geom.con2d
+    c_aa = c2[..., 0, 0, None]
+    c_ab = c2[..., 0, 1, None]
+    c_bb = c2[..., 1, 1, None]
+
+    if stagger == "CPH":
+        rt_n = colop(geom.interp_i2n, rt)
+    else:
+        rt_n = rt
+    pressure = constants.pressure_from_rhotheta(rt_n)
+    internal = pressure / (constants.gamma - 1.0)
+    potential = constants.g * rho * geom.z_lev
+
+    if stagger in ("LEV", "INT"):
+        con_ua = c_aa * u + c_ab * v + geom.con_a_xi * w
+        con_ub = c_ab * u + c_bb * v + geom.con_b_xi * w
+        con_ux = geom.con_a_xi * u + geom.con_b_xi * v \
+            + geom.con_xi_xi * w
+        udotu = con_ua * u + con_ub * v + con_ux * w
+        ke = 0.5 * rho * udotu
+        return float(jnp.sum(geom.area3d * (ke + internal + potential)))
+
+    w_n = colop(geom.interp_i2n, w)
+    con_ua = c_aa * u + c_ab * v + geom.con_a_xi * w_n
+    con_ub = c_ab * u + c_bb * v + geom.con_b_xi * w_n
+    udotu = (con_ua * u + con_ub * v
+             + (geom.con_a_xi * u + geom.con_b_xi * v) * w_n)
+    ke_lev = 0.5 * rho * udotu
+    lev = float(jnp.sum(geom.area3d * (ke_lev + internal + potential)))
+
+    rho_i = colop(geom.interp_n2i, rho)
+    ke_int = 0.5 * rho_i * geom.con_xi_xi_int * w * w
+    return lev + float(jnp.sum(geom.area3d_int * ke_int))
+
+
+def nh_zonal_momentum(state, geom):
+    """Integral of rho * U_alpha.
+
+    NOTE: this is what the reference's 3-D
+    ``ComputeTotalPotentialEnstrophy`` actually computes
+    (``GridPatch.cpp:1203-1215`` — the non-SW branch integrates zonal
+    momentum, not enstrophy); reproduced for parity and reported under
+    its honest name.
+    """
+    import jax.numpy as jnp
+    return float(jnp.sum(geom.area3d * state["Rho"] * state["U"]))
+
+
+def nh_vertical_momentum(state, geom):
+    """Integral of rho * W on model levels
+    (``GridPatch.cpp:1226-1290``; W interpolated to levels when on
+    interfaces, matching the reference's node-copy semantics)."""
+    import jax.numpy as jnp
+    from ..models.nonhydro import colop
+    w = state["W"]
+    if w.shape[-1] == geom.nz + 1:
+        w = colop(geom.interp_i2n, w)
+    return float(jnp.sum(geom.area3d * state["Rho"] * w))

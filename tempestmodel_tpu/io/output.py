@@ -87,10 +87,21 @@ class EnergyOutput(OutputManager):
     def output(self, model, t: float):
         rec = {"time": t}
         if "Rho" in model.state:
+            from .diagnostics import (nh_total_energy, nh_zonal_momentum,
+                                      nh_vertical_momentum)
             rec["mass"] = float(jnp.sum(
                 model.state["Rho"] * model.geom.area3d))
-            rec["rhotheta"] = float(jnp.sum(
-                model.state["Rt"] * model.geom.area3d))
+            rt = model.state["Rt"]
+            area_rt = (model.geom.area3d
+                       if rt.shape[-1] == model.geom.nz
+                       else model.geom.area3d_int)
+            rec["rhotheta"] = float(jnp.sum(rt * area_rt))
+            rec["energy"] = nh_total_energy(
+                model.state, model.geom, model.cfg.constants)
+            rec["zonal_momentum"] = nh_zonal_momentum(
+                model.state, model.geom)
+            rec["vertical_momentum"] = nh_vertical_momentum(
+                model.state, model.geom)
         else:
             from ..models.shallow_water import sw_energy
             rec["energy"] = float(sw_energy(

@@ -66,13 +66,6 @@ class Model:
             cfg = _dc.replace(
                 cfg, constants=testcase.physical_constants(cfg.constants))
         from .config import VerticalStaggering
-        if cfg.equation_set != EquationSet.SHALLOW_WATER and \
-                cfg.vertical_staggering not in (
-                    VerticalStaggering.LORENZ,
-                    VerticalStaggering.CHARNEY_PHILLIPS):
-            raise NotImplementedError(
-                f"vertical staggering {cfg.vertical_staggering.value}: "
-                "only LOR and CPH are implemented")
         self.cfg = cfg
         self.testcase = testcase
         self.output_managers = list(output_managers)
@@ -117,8 +110,23 @@ class Model:
         self.state = None
         self.reference = None
         if testcase is not None:
+            import inspect as _inspect
+            ikw = {}
+            convert = None
+            if cfg.vertical_staggering != VerticalStaggering.LORENZ and \
+                    cfg.equation_set != EquationSet.SHALLOW_WATER:
+                sig = _inspect.signature(testcase.initial_state)
+                if "stagger" in sig.parameters:
+                    ikw["stagger"] = cfg.vertical_staggering.value
+                else:
+                    # generic shape conversion (nonhydro.convert_stagger)
+                    convert = cfg.vertical_staggering.value
             self.state = testcase.initial_state(
-                self.geom, cfg.constants, dtype=cfg.dtype)
+                self.geom, cfg.constants, dtype=cfg.dtype, **ikw)
+            if convert is not None:
+                from .models.nonhydro import convert_stagger
+                self.state = convert_stagger(self.state, self.geom,
+                                             convert)
             if hasattr(testcase, "reference_state"):
                 self.reference = testcase.reference_state(
                     self.geom, cfg.constants, dtype=cfg.dtype)

@@ -37,6 +37,7 @@ def build_nh_cartesian_geometry(cfg: ModelConfig, topography=None,
         topography=topography, rayleigh=rayleigh, bc_x=bc_x, bc_y=bc_y,
         is_xz=(cfg.grid_kind == GridKind.CARTESIAN_XZ),
         reference_latitude=reference_latitude,
+        staggering=cfg.vertical_staggering.value,
         stretch=_stretch(cfg), dtype=cfg.dtype)
 
 
@@ -82,6 +83,7 @@ def build_nh_sphere_geometry(cfg: ModelConfig, topography=None,
         ne=cfg.ne, p=cfg.order, constants=cfg.constants, nz=cfg.nz,
         ztop=ztop if ztop is not None else cfg.ztop,
         topography=topography, vertical_order=cfg.vertical_order,
+        staggering=cfg.vertical_staggering.value,
         rayleigh=rayleigh, stretch=_stretch(cfg), dtype=cfg.dtype)
 
 

@@ -52,7 +52,9 @@ def penalty_apply(geom, f_n, xidot_i):
     vo = geom.vo
     nz = f_n.shape[-1]
     nfe = nz // vo
-    if nfe <= 1:
+    if nfe <= 1 or geom.penalty_left is None:
+        # single element, or a continuous vertical basis (INT staggering)
+        # with no inter-element discontinuity to penalize
         return jnp.zeros_like(f_n)
     # per-boundary weights: |xidot| at interface (a+1)*vo, a = 0..nfe-2
     wb = jnp.abs(xidot_i[..., vo:nz:vo])              # (..., nfe-1)
@@ -479,6 +481,29 @@ def _column_residual_lev(x, aux, geom_mats, constants, dt, nz):
 
     f = jnp.concatenate([f_rt, f_w, f_rho])
     return f + (x - aux["x0"]) / dt
+
+
+def convert_stagger(state, geom, stagger: str):
+    """Convert a Lorenz-form state dict to another staggering.
+
+    Fallback for test cases without a ``stagger`` parameter on
+    ``initial_state``: level fields were already evaluated at the
+    staggering's level positions (``geom.z_lev`` is staggering-aware),
+    so only array shapes move — W to levels (LEV/INT) by interface
+    interpolation, Rt to interfaces (CPH) by level interpolation.
+    Cases needing pointwise-exact non-Lorenz initialization implement
+    the ``stagger`` parameter instead (e.g. InertiaGravityWave).
+    """
+    if stagger == "LOR":
+        return state
+    out = dict(state)
+    if stagger in ("LEV", "INT"):
+        out["W"] = colop(geom.interp_i2n, state["W"])
+        return out
+    if stagger == "CPH":
+        out["Rt"] = colop(geom.interp_n2i, state["Rt"])
+        return out
+    raise ValueError(stagger)
 
 
 def infer_stagger(state, nz: int) -> str:

@@ -475,3 +475,173 @@ def build_column_ops(nz: int, vertical_order: int = 1,
         penalty_left=L, penalty_right=R,
         wscat_left=wsl, wscat_right=wsr,
     )
+
+
+# ---------------------------------------------------------------------------
+# INT staggering (--vstagger INT): all variables on levels placed at
+# element-shared GLL points spanning [0, 1] (boundary levels included)
+# ---------------------------------------------------------------------------
+
+def vertical_coordinate_int(nz: int, vertical_order: int, stretch=None):
+    """(reta_levels, reta_interfaces, norm_area_lev, norm_area_int) for
+    the INT staggering.
+
+    Reference ``GridGLL::InitializeVerticalCoordinate`` INT branch
+    (``GridGLL.cpp:385-455``): levels at per-element GLL points with
+    shared element endpoints; requires (vertorder - 1) | (levels - 1)
+    and vertorder >= 2; interior shared nodes carry the summed (2x)
+    quadrature weight.  Interfaces keep the uniform base-grid placement
+    (``Grid.cpp`` GridSpacingUniform).
+    """
+    vo = vertical_order
+    if vo < 2:
+        raise ValueError("INT staggering requires vertical order >= 2")
+    if (nz - 1) % (vo - 1) != 0:
+        raise ValueError("(vertorder - 1) must divide (levels - 1)")
+    nfe = (nz - 1) // (vo - 1)
+    gl, wl = quad.gauss_lobatto(vo, 0.0, 1.0)
+
+    lev = np.zeros(nz)
+    na_lev = np.zeros(nz)
+    if stretch is None:
+        bounds = np.linspace(0.0, 1.0, nfe + 1)
+    else:
+        bounds = np.array([stretch(x)[0]
+                           for x in np.linspace(0.0, 1.0, nfe + 1)])
+    for a in range(nfe):
+        d = bounds[a + 1] - bounds[a]
+        for k in range(vo):
+            kx = a * (vo - 1) + k
+            lev[kx] = bounds[a] + gl[k] * d
+            na_lev[kx] += wl[k] * d
+
+    if stretch is None:
+        intf = np.linspace(0.0, 1.0, nz + 1)
+    else:
+        intf = np.array([stretch(x)[0]
+                         for x in np.linspace(0.0, 1.0, nz + 1)])
+    na_int = np.zeros(nz + 1)
+    na_int[:-1] += 0.5 * np.diff(intf)
+    na_int[1:] += 0.5 * np.diff(intf)
+    return lev, intf, na_lev, na_int
+
+
+def _int_element_of(vo: int, lev, x: float):
+    """Element index containing x, and whether x sits on a shared edge."""
+    eps = 1.0e-12
+    nfe = (len(lev) - 1) // (vo - 1)
+    for a in range(nfe - 1):
+        nxt = lev[(a + 1) * (vo - 1)] - eps
+        if x < nxt:
+            return a, False
+        if x < nxt + 2.0 * eps:
+            return a, True
+    return nfe - 1, False
+
+
+def diff_gll_nodes(vo: int, lev, reta_out) -> np.ndarray:
+    """Derivative operator on shared-GLL-node columns.
+
+    Reference ``LinearColumnDiffFEM::InitializeGLLNodes``
+    (``LinearColumnOperatorFEM.cpp:703-830``): per-element Lagrange
+    derivative; at shared element edges the one-sided derivatives are
+    averaged with truncation-error weights err_R/(err_L+err_R).
+    """
+    nin, nout = len(lev), len(reta_out)
+    M = np.zeros((nout, nin))
+    for l in range(nout):
+        a, on_edge = _int_element_of(vo, lev, reta_out[l])
+        i0 = a * (vo - 1)
+        pts = lev[i0:i0 + vo]
+        c = quad.lagrange_diff_coeffs(pts, reta_out[l])
+        if not on_edge:
+            M[l, i0:i0 + vo] = c
+        else:
+            dL = lev[(a + 1) * (vo - 1)] - lev[a * (vo - 1)]
+            dR = lev[(a + 2) * (vo - 1)] - lev[(a + 1) * (vo - 1)]
+            eL = dL ** (vo - 1)
+            eR = dR ** (vo - 1)
+            wL = eR / (eL + eR)
+            wR = eL / (eL + eR)
+            i1 = (a + 1) * (vo - 1)
+            cR = quad.lagrange_diff_coeffs(lev[i1:i1 + vo], reta_out[l])
+            M[l, i0:i0 + vo] += wL * c
+            M[l, i1:i1 + vo] += wR * cR
+    return M
+
+
+def diffdiff_gll_nodes(vo: int, lev) -> np.ndarray:
+    """Variational second-derivative operator on shared-GLL-node columns.
+
+    Reference ``LinearColumnDiffDiffFEM::InitializeGLLNodes``
+    (``LinearColumnOperatorFEM.cpp:1387-1480``): per element,
+    M[j, i] -= sum_s D[s, j] D[s, i] w_s / w_j with the shared-node
+    quadrature weight doubled.
+    """
+    nin = len(lev)
+    nfe = (nin - 1) // (vo - 1)
+    M = np.zeros((nin, nin))
+    for a in range(nfe):
+        i0 = a * (vo - 1)
+        x0, x1 = lev[i0], lev[i0 + vo - 1]
+        g, w = quad.gauss_lobatto(vo, x0, x1)
+        D = np.stack([quad.lagrange_diff_coeffs(lev[i0:i0 + vo], g[s])
+                      for s in range(vo)])          # (s, i)
+        for j in range(vo):
+            jx = i0 + j
+            wloc = w[j]
+            if j == 0 and a != 0:
+                wloc *= 2.0
+            if j == vo - 1 and a != nfe - 1:
+                wloc *= 2.0
+            for i in range(vo):
+                M[jx, i0 + i] -= np.dot(D[:, j] * D[:, i], w) / wloc
+    return M
+
+
+def interp_gll_nodes(vo: int, lev, reta_out) -> np.ndarray:
+    """Lagrange interpolation from shared-GLL-node levels to arbitrary
+    output points (element-local)."""
+    nin, nout = len(lev), len(reta_out)
+    M = np.zeros((nout, nin))
+    for l in range(nout):
+        a, _ = _int_element_of(vo, lev, reta_out[l])
+        i0 = a * (vo - 1)
+        M[l, i0:i0 + vo] = quad.lagrange_interp_coeffs(
+            lev[i0:i0 + vo], reta_out[l])
+    return M
+
+
+def build_column_ops_interfaces(nz: int, vertical_order: int,
+                                stretch=None) -> ColumnOps:
+    """ColumnOps for the INT staggering (all variables on levels at
+    shared GLL points).  The level-space operators are the GLL-nodes
+    variants; interface-space operators (used only by aux plumbing, not
+    by the INT dynamics) are built by element-local Lagrange maps on the
+    uniform interface grid."""
+    vo = vertical_order
+    lev, intf, na_lev, na_int = vertical_coordinate_int(nz, vo, stretch)
+
+    # interface-space helpers on the uniform interface grid (treated as
+    # shared linear elements)
+    def from_intf(out):
+        return interp_gll_nodes(2, intf, out)
+
+    def diff_from_intf(out):
+        return diff_gll_nodes(2, intf, out)
+
+    return ColumnOps(
+        nz=nz, vo=vo, reta_lev=lev, reta_int=intf,
+        na_lev=na_lev, na_int=na_int,
+        interp_n2i=interp_gll_nodes(vo, lev, intf),
+        interp_i2n=from_intf(lev),
+        diff_n2n=diff_gll_nodes(vo, lev, lev),
+        diff_n2n_zb=diff_gll_nodes(vo, lev, lev),
+        diff_n2i=diff_gll_nodes(vo, lev, intf),
+        diff_i2n=diff_from_intf(lev),
+        diff_i2i=diff_from_intf(intf),
+        diffdiff_n2n=diffdiff_gll_nodes(vo, lev),
+        diffdiff_i2i=diffdiff_gll_nodes(2, intf),
+        penalty_left=None, penalty_right=None,
+        wscat_left=None, wscat_right=None,
+    )

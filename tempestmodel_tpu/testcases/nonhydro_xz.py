@@ -257,7 +257,8 @@ class InertiaGravityWave:
             theta_bi, rho_i = self._background(zi, constants)
             rt_int = rho_i * (theta_bi + self.theta_perturbation(xi, zi))
         return _state_dict(geom, theta, rho, u_lev=self.u0, dtype=dtype,
-                           rt_int=rt_int, w_on_levels=(stagger == "LEV"))
+                           rt_int=rt_int,
+                           w_on_levels=(stagger in ("LEV", "INT")))
 
     def reference_state(self, geom, constants, dtype=jnp.float64):
         z = np.asarray(geom.z_lev)

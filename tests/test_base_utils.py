@@ -129,3 +129,35 @@ def test_topography_generators():
     h = mw.wave_topography(lon, np.zeros_like(lon), k=8)
     fft = np.abs(np.fft.rfft(h))
     assert np.argmax(fft) == 8
+
+
+def test_announce_hierarchical_logging():
+    """Hierarchical block logger (reference Announce.h:40-95): nested
+    `..` indentation, verbosity gating, banner."""
+    import io
+    from tempestmodel_tpu.utils import announce as an
+    buf = io.StringIO()
+    an.announce_set_output(buf)
+    an.announce_set_verbosity(1)
+    an.announce_banner("TEST")
+    an.announce("top")
+    with an.block("outer"):
+        an.announce("inside")
+        an.announce(2, "hidden detail")       # verbosity 2 > level 1
+        with an.block("inner", done="Done"):
+            an.announce("deep")
+    out = buf.getvalue().splitlines()
+    assert any("= TEST =" in l for l in out)
+    assert "top" in out
+    assert "outer" in out
+    assert "..inside" in out
+    assert all("hidden detail" not in l for l in out)
+    assert "....deep" in out
+    assert "....Done" in out
+    # verbosity raise exposes the detail
+    buf2 = io.StringIO()
+    an.announce_set_output(buf2)
+    an.announce_set_verbosity(2)
+    an.announce(2, "now visible")
+    assert "now visible" in buf2.getvalue()
+    an.announce_set_output(None)

@@ -305,3 +305,38 @@ def test_cli_flags_smoke(tmp_path, capsys):
                "--vmethod", "SCHUR", "--vstagger", "LOR",
                "--vstretch", "uniform", "--newtoniter", "2"])
     assert rc == 0
+
+
+def test_nh_conservation_diagnostics():
+    """3-D conservation integrals (Grid::ComputeTotalEnergy /
+    VerticalMomentum analogs) are finite and drift little over a short
+    thermal-bubble integration (VERDICT r2 item 7)."""
+    import jax.numpy as jnp
+    from tempestmodel_tpu.config import (ModelConfig, EquationSet,
+                                         GridKind)
+    from tempestmodel_tpu.model import Model
+    from tempestmodel_tpu.io.output import EnergyOutput
+    from tempestmodel_tpu.testcases.nonhydro_xz import ThermalBubble
+
+    tc = ThermalBubble()
+    cfg = ModelConfig(equation_set=EquationSet.PRIMITIVE_NONHYDRO,
+                      grid_kind=GridKind.CARTESIAN_XZ, nex=6, ney=1,
+                      order=4, nz=12, ztop=tc.ztop,
+                      x_extent=tc.x_extent, y_extent=tc.y_extent,
+                      dt=0.2, hyperdiffusion=False,
+                      vertical_solver="banded")
+    eo = EnergyOutput(interval=0.2)
+    m = Model(cfg, testcase=tc, output_managers=[eo])
+    m.go(nsteps=10)
+    recs = eo.records
+    assert len(recs) >= 10
+    for key in ("mass", "rhotheta", "energy", "zonal_momentum",
+                "vertical_momentum"):
+        assert all(np.isfinite(r[key]) for r in recs), key
+    # mass and rhotheta conserved tightly; total energy drift small
+    m0, m1 = recs[0]["mass"], recs[-1]["mass"]
+    assert abs(m1 - m0) / abs(m0) < 1e-10
+    r0, r1 = recs[0]["rhotheta"], recs[-1]["rhotheta"]
+    assert abs(r1 - r0) / abs(r0) < 1e-8
+    e0, e1 = recs[0]["energy"], recs[-1]["energy"]
+    assert abs(e1 - e0) / abs(e0) < 1e-5
