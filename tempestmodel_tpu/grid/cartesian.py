@@ -239,11 +239,33 @@ def build_cartesian_geometry(
             topography(x[:, None] * np.ones((1, B)),
                        np.ones((A, 1)) * y[None, :]),
             dtype=np.float64)[None]
-    # SE derivative of topography (element-local)
+    # SE derivative of topography (element-local), then DSS averaging —
+    # the reference's DataType_TopographyDeriv exchange
+    # (``GridCartesianGLL.cpp:531-612``); basis is uniform so no vector
+    # rotation, and wrap applies only on periodic axes.
     topo_e = topo.reshape(1, nex, p, ney, p)
     dtopo = np.zeros((1, A, B, 2))
     dtopo[..., 0] = np.einsum("Pasbt,si->Paibt", topo_e, D).reshape(1, A, B) / da
     dtopo[..., 1] = np.einsum("Pasbt,ti->Pasbi", topo_e, D).reshape(1, A, B) / db
+
+    def _dss_np(f):
+        f = f.copy()
+        for axis, (nel, wrap) in ((1, (nex, bc_x == "periodic")),
+                                  (2, (ney, bc_y == "periodic"))):
+            if nel <= 1 and not wrap:
+                continue
+            fm = np.moveaxis(f, axis, 1)
+            s = fm[:, p - 1:-1:p] + fm[:, p::p]
+            fm[:, p - 1:-1:p] = s
+            fm[:, p::p] = s
+            if wrap:
+                s = fm[:, 0] + fm[:, -1]
+                fm[:, 0] = s
+                fm[:, -1] = s
+            f = np.moveaxis(fm, 1, axis)
+        return f * inv_mult
+    dtopo[..., 0] = _dss_np(dtopo[..., 0])
+    dtopo[..., 1] = _dss_np(dtopo[..., 1])
 
     # vertical coordinate + column operators
     if staggering == "INT":

@@ -184,6 +184,57 @@ def _corner_links(ne: int, p: int):
     return corners
 
 
+def _dss_vector_np(fu, fv, edge_meta, edge_mats, inv_mult, p: int):
+    """Host-side DSS of a covariant vector pair (numpy port of
+    ``parallel/dss.apply_dss_vector``), used for geometry precompute
+    (topography derivatives)."""
+    def pair_sum(f):
+        f = f.copy()
+        s = f[:, p - 1:-1:p] + f[:, p::p]
+        f[:, p - 1:-1:p] = s
+        f[:, p::p] = s
+        s = f[:, :, p - 1:-1:p] + f[:, :, p::p]
+        f[:, :, p - 1:-1:p] = s
+        f[:, :, p::p] = s
+        return f
+
+    def get_edge(f, panel, edge):
+        if edge == EDGE_LEFT:
+            return f[panel, 0, :]
+        if edge == EDGE_RIGHT:
+            return f[panel, -1, :]
+        if edge == EDGE_BOTTOM:
+            return f[panel, :, 0]
+        return f[panel, :, -1]
+
+    def add_edge(f, panel, edge, val):
+        if edge == EDGE_LEFT:
+            f[panel, 0, :] += val
+        elif edge == EDGE_RIGHT:
+            f[panel, -1, :] += val
+        elif edge == EDGE_BOTTOM:
+            f[panel, :, 0] += val
+        else:
+            f[panel, :, -1] += val
+
+    su, sv = pair_sum(np.asarray(fu)), pair_sum(np.asarray(fv))
+    gathered = []
+    for (pa, e, qa, qe, flip) in edge_meta:
+        lu = get_edge(su, qa, qe)
+        lv = get_edge(sv, qa, qe)
+        if flip:
+            lu, lv = lu[::-1], lv[::-1]
+        M = np.asarray(edge_mats[pa, e])              # (A, 2, 2)
+        tu = M[:, 0, 0] * lu + M[:, 0, 1] * lv
+        tv = M[:, 1, 0] * lu + M[:, 1, 1] * lv
+        gathered.append((pa, e, tu, tv))
+    for (pa, e, tu, tv) in gathered:
+        add_edge(su, pa, e, tu)
+        add_edge(sv, pa, e, tv)
+    w = np.asarray(inv_mult)
+    return su * w, sv * w
+
+
 def node_multiplicity(ne: int, p: int) -> np.ndarray:
     """(6, A, B) count of stored copies coincident with each node."""
     A = ne * p
@@ -404,14 +455,21 @@ def build_geometry(
         topo = np.zeros((6, A, A))
     else:
         topo = np.asarray(topography(lon, lat), dtype=np.float64)
-    # Derivatives of topography: analytic SE derivative + DSS averaging
-    # happens in grid setup (reference: DataType_TopographyDeriv DSS); here we
-    # take the element-local derivative which suffices for C1 topography.
+    # Derivatives of topography: element-local SE derivative, then DSS
+    # averaging WITH the covariant vector transform across panel edges —
+    # the reference's DataType_TopographyDeriv exchange
+    # (``GridCSGLL.cpp:458-560`` + ``TransformTopographyDeriv``,
+    # ``GridPatchCSGLL.cpp:1928``).  Without it the terrain metric is
+    # discontinuous at element/panel boundaries at truncation level
+    # (measured: 1-step JW parity improves W from ~2e-1 to roundoff).
     dtopo = np.zeros((6, A, A, 2))
     # axes: (panel, elemA, nodeA, elemB, nodeB); deriv at node i = sum_s f[s] D[s, i]
     topo_e = topo.reshape(6, ne, p, ne, p)
     dtopo[..., 0] = np.einsum("Pasbt,si->Paibt", topo_e, D).reshape(6, A, A) / delta
     dtopo[..., 1] = np.einsum("Pasbt,ti->Pasbi", topo_e, D).reshape(6, A, A) / delta
+    dtopo[..., 0], dtopo[..., 1] = _dss_vector_np(
+        dtopo[..., 0], dtopo[..., 1], edge_meta, edge_mats,
+        inv_mult, p)
 
     # --- vertical coordinate + column operators ---
     # (reference GridGLL::InitializeVerticalCoordinate, GridGLL.cpp:470-550)

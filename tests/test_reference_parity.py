@@ -286,3 +286,148 @@ def test_parity_shearjet_mountain():
     # measured: Rt/Rho ~1.3e-5, U ~1.1e-4, W ~5.3e-4 at dt=0.1
     # (Newton-truncation-limited like the IGW case)
     assert_state_close(s, golden, rtol_scalar=5e-5, rtol_vel=2e-3)
+
+
+def test_parity_jw_sphere():
+    """Jablonowski-Williamson baroclinic wave vs the reference (10 steps,
+    ne4 L10, exp perturbation, hyperdiffusion on) — the second sphere
+    golden beyond UMJS (round-2 VERDICT item 8).
+
+    Golden: ``BaroclinicWaveJWTest --resolution 4 --levels 10
+    --ztop 30000 --dt 50s --endtime 500s --pert Exp`` (serial refbuild).
+    JW has a nonzero surface geopotential, so this pins the
+    terrain-following metric against the reference on the SPHERE (the
+    xz terrain cases pin the Cartesian version).
+
+    Documented deviation (measured, stable over 1->10 steps): the t=0
+    state (incl. topography and its spectral derivative) matches the
+    reference to 2e-15, and flat-sphere trajectories (UMJS) are
+    bit-level under jacobian_mode="reference"; WITH terrain the
+    trajectories agree to U/V ~1e-2, Rt 4e-4, Rho 8e-4, and the
+    initial-adjustment wave in W to ~18 percent of its (small: |W|max
+    corresponds to ~1-3 m/s physical) amplitude, already after one
+    step and independent of hyperdiffusion and of the topography-deriv
+    DSS.  The discrepancy therefore sits in a terrain-metric term of
+    the coupled step (every individually-testable ingredient — metric
+    formulas, xi-dot cross terms, boundary-W formula, vertical
+    operators — matches the reference source); isolating it needs
+    instrumented reference tendency dumps, left for the next round.
+    The tolerances below pin today's agreement so regressions are
+    caught while the gap is closed.
+    """
+    from tempestmodel_tpu.testcases.nonhydro_sphere import BaroclinicWaveJW
+    patches = load_golden("jw_l10.bin.gz")
+    node_ref = np.stack([p["node"] for p in patches])
+    redge_ref = np.stack([p["redge"] for p in patches])
+
+    tc = BaroclinicWaveJW(pert="exp", ztop=30000.0)
+    cfg = ModelConfig(grid_kind=GridKind.CUBED_SPHERE, ne=4, order=4,
+                      nz=10, ztop=30000.0, dt=50.0, hyperdiffusion=True,
+                      nu_scalar=1e15, nu_div=1e15, nu_vort=1e15,
+                      jacobian_mode="reference")
+    geom = nh_model.build_nh_sphere_geometry(
+        cfg, ztop=30000.0,
+        topography=lambda lon, lat: tc.topography(lon, lat, cfg.constants))
+    s0 = tc.initial_state(geom, cfg.constants)
+    first_step, step = nh_model.make_nh_step(cfg, geom)
+    s, carry = first_step(s0)
+    for _ in range(9):
+        s, carry = step(s, carry)
+
+    for name, c, tol in (("U", 0, 2e-2), ("V", 1, 3e-2),
+                         ("Rt", 2, 1e-3), ("Rho", 4, 2e-3)):
+        ref = node_ref[:, c]
+        mine = np.asarray(s[name])
+        rel = np.abs(ref - mine).max() / max(np.abs(ref).max(), 1e-30)
+        assert rel < tol, f"{name}: rel {rel:.3e}"
+    ref_w = redge_ref[:, 3]
+    rel = np.abs(ref_w - np.asarray(s["W"])).max() / np.abs(ref_w).max()
+    assert rel < 0.3, f"W: rel {rel:.3e}"
+
+
+def test_parity_jw_initial_state():
+    """JW t=0 state (eta-coordinate inversion + terrain) matches the
+    reference dump to near-roundoff — pins topography, its spectral
+    derivative, and the balanced initial condition on the sphere."""
+    from tempestmodel_tpu.testcases.nonhydro_sphere import BaroclinicWaveJW
+    patches = load_golden("jw_t0.bin.gz")
+    node_ref = np.stack([p["node"] for p in patches])
+    tc = BaroclinicWaveJW(pert="exp", ztop=30000.0)
+    cfg = ModelConfig(grid_kind=GridKind.CUBED_SPHERE, ne=4, order=4,
+                      nz=10, ztop=30000.0, dt=50.0)
+    geom = nh_model.build_nh_sphere_geometry(
+        cfg, ztop=30000.0,
+        topography=lambda lon, lat: tc.topography(lon, lat, cfg.constants))
+    s0 = tc.initial_state(geom, cfg.constants)
+    for name, c in (("U", 0), ("V", 1), ("Rt", 2), ("Rho", 4)):
+        ref = node_ref[:, c]
+        rel = np.abs(ref - np.asarray(s0[name])).max() \
+            / max(np.abs(ref).max(), 1e-30)
+        assert rel < 1e-13, f"{name}: rel {rel:.3e}"
+
+
+def test_parity_highspeed_sphere():
+    """HighSpeedDynamics (--hmethod hs) vs the reference, 10 steps UMJS
+    ne4 L24 (round-2 VERDICT item 8: golden beyond internal-consistency
+    for the acoustic dynamics variants).
+
+    Golden: ``BaroclinicWaveUMJSTest --resolution 4 --levels 24
+    --ztop 30000 --dt 50s --endtime 500s --pert Exp --timescheme ars343b
+    --hmethod hs --vmethod NONE`` from the reference rebuilt with
+    ``PROGNOSTIC_CONTRAVARIANT_MOMENTA`` (Defines.h:59 — HS/SPEX refuse
+    to initialize without it, ``HighSpeedDynamics.cpp:59``).  Under that
+    define the state stores contravariant momentum densities
+    (rho u^a, rho u^b, rho w); our covariant-velocity state converts via
+    the 2-D metric and dz/dxi for the comparison.
+
+    Measured agreement: momenta ~2e-5, Rt/Rho ~5e-8.
+
+    The split-explicit (SPEX) variant CANNOT produce reference goldens
+    in any compile configuration: without the define
+    ``SplitExplicitDynamics::Initialize`` throws ("Prognostic covariant
+    velocities not supported", SplitExplicitDynamics.cpp:59); with it,
+    the ``VerticalDynamicsFEM`` that ``TimestepSchemeSplitExp`` requires
+    (it casts GetVerticalDynamics and demands --explicitvertical,
+    TimestepSchemeSplitExp.cpp:74-80) throws unconditionally
+    (VerticalDynamicsFEM.cpp:97-99).  SPEX correctness therefore rests
+    on the internal-consistency tests (tests/test_split_explicit.py),
+    which is the strongest evidence the reference itself permits.
+    """
+    from tempestmodel_tpu.testcases.nonhydro_sphere import BaroclinicWaveUMJS
+    from tempestmodel_tpu.config import TimestepSchemeType
+    from tempestmodel_tpu.models import nonhydro
+    patches = load_golden("umjs_hs10.bin.gz")
+    node_ref = np.stack([p["node"] for p in patches])
+    redge_ref = np.stack([p["redge"] for p in patches])
+
+    tc = BaroclinicWaveUMJS(pert="exp")
+    cfg = ModelConfig(grid_kind=GridKind.CUBED_SPHERE, ne=4, order=4,
+                      nz=24, ztop=30000.0, dt=50.0, hyperdiffusion=True,
+                      nu_scalar=1e15, nu_div=1e15, nu_vort=1e15,
+                      timescheme=TimestepSchemeType.HS)
+    geom = nh_model.build_nh_sphere_geometry(cfg, ztop=30000.0)
+    s0 = tc.initial_state(geom, cfg.constants)
+    first_step, step = nh_model.make_nh_step(cfg, geom)
+    s, carry = first_step(s0)
+    for _ in range(9):
+        s, carry = step(s, carry)
+
+    con = np.asarray(geom.con2d)
+    rho = np.asarray(s["Rho"])
+    u_c = con[..., 0, 0, None] * np.asarray(s["U"]) \
+        + con[..., 0, 1, None] * np.asarray(s["V"])
+    v_c = con[..., 1, 0, None] * np.asarray(s["U"]) \
+        + con[..., 1, 1, None] * np.asarray(s["V"])
+    for name, mine, c, tol in (("rho*u^a", rho * u_c, 0, 2e-4),
+                               ("rho*u^b", rho * v_c, 1, 2e-4),
+                               ("Rt", np.asarray(s["Rt"]), 2, 1e-6),
+                               ("Rho", rho, 4, 1e-6)):
+        ref = node_ref[:, c]
+        rel = np.abs(ref - mine).max() / max(np.abs(ref).max(), 1e-30)
+        assert rel < tol, f"{name}: rel {rel:.3e}"
+    rho_i = np.asarray(nonhydro.colop(geom.interp_n2i, s["Rho"]))
+    dxr_i = np.asarray(geom.deriv_r_int)[..., 2]
+    mw = rho_i * np.asarray(s["W"]) / dxr_i
+    ref_w = redge_ref[:, 3]
+    rel = np.abs(ref_w - mw).max() / np.abs(ref_w).max()
+    assert rel < 2e-4, f"rho*w: rel {rel:.3e}"
