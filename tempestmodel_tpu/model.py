@@ -131,12 +131,29 @@ class Model:
                 self.reference = testcase.reference_state(
                     self.geom, cfg.constants, dtype=cfg.dtype)
 
+        self._fast = False
         if cfg.equation_set != EquationSet.SHALLOW_WATER:
             if cfg.timescheme in (TimestepSchemeType.STRANG,
                                   TimestepSchemeType.ERK,
                                   TimestepSchemeType.SPEX):
-                self._first_step, self._step = nh_model.make_nh_step(
-                    cfg, self.geom, ref_state=self.reference)
+                from .fast.engine import fast_engine_supported
+                use_fast = (cfg.fuse_pallas
+                            and fast_engine_supported(
+                                cfg, has_tracers=(
+                                    self.state is not None
+                                    and "Tracers" in self.state)))
+                if use_fast:
+                    # z-first Pallas engine (fast/): same step semantics,
+                    # ~4x the reference-layout engine on TPU (docs/PERF.md)
+                    from . import fast
+                    self._first_step, self._step = fast.make_fast_step(
+                        cfg, self.geom, ref_state=self.reference)
+                    self._fast = True
+                    self._fast_carry = None
+                    self._state_mirror = None
+                else:
+                    self._first_step, self._step = nh_model.make_nh_step(
+                        cfg, self.geom, ref_state=self.reference)
                 self._imex_step = None
             else:
                 self._imex_step = nh_model.make_nh_imex_step(
@@ -175,6 +192,31 @@ class Model:
             self.state = self._sw_step(self.state)
         elif self._imex_step is not None:
             self.state = self._imex_step(self.state)
+        elif self._fast:
+            from . import fast
+            # keep the z-first state resident; re-pack only if something
+            # (restart, workflow process) replaced self.state
+            if getattr(self, "_state_mirror", None) is not self.state \
+                    or self.carry is None:
+                self._fast_state = fast.pack_state(self.state)
+                if self.carry is None:
+                    self._fast_carry = None
+                elif self.carry is not self._fast_carry:
+                    # carry loaded externally (restart); it has state
+                    # structure — detect its layout by the W axis
+                    if self.carry["W"].shape[-1] == cfg.nz + 1:
+                        self._fast_carry = fast.pack_state(self.carry)
+                    else:                      # already z-first
+                        self._fast_carry = self.carry
+            if self._fast_carry is None:
+                self._fast_state, self._fast_carry = self._first_step(
+                    self._fast_state)
+            else:
+                self._fast_state, self._fast_carry = self._step(
+                    self._fast_state, self._fast_carry)
+            self.carry = self._fast_carry
+            self.state = fast.unpack_state(self._fast_state)
+            self._state_mirror = self.state
         elif self.carry is None:
             self.state, self.carry = self._first_step(self.state)
         else:

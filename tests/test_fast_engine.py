@@ -79,3 +79,24 @@ def test_fast_engine_supported_predicate():
     assert not fast.engine.fast_engine_supported(
         cfg.with_(grid_kind=GridKind.CARTESIAN_XZ))
     assert not fast.engine.fast_engine_supported(cfg, has_tracers=True)
+
+
+def test_model_driver_uses_fast_engine():
+    """The Model driver auto-selects the z-first engine for supported
+    sphere configs (cfg.fuse_pallas) and its trajectory matches the
+    reference-layout engine driver run."""
+    from tempestmodel_tpu.model import Model
+    from tempestmodel_tpu.config import EquationSet
+    tc = BaroclinicWaveUMJS(pert="exp")
+    base = dict(equation_set=EquationSet.PRIMITIVE_NONHYDRO,
+                grid_kind=GridKind.CUBED_SPHERE, ne=4, order=4, nz=8,
+                ztop=tc.ztop, dt=200.0, hyperdiffusion=True,
+                nu_scalar=1e15, nu_div=1e15, nu_vort=1e15,
+                vertical_solver="banded", dtype=jnp.float64)
+    m_fast = Model(ModelConfig(**base), testcase=tc)
+    assert m_fast._fast, "fast engine should be selected"
+    m_fast.go(nsteps=2)
+    m_ref = Model(ModelConfig(**base, fuse_pallas=False), testcase=tc)
+    assert not m_ref._fast
+    m_ref.go(nsteps=2)
+    _compare(m_ref.state, m_fast.state, 1e-11)
