@@ -100,6 +100,9 @@ def make_parser():
                          "| JFNK | DENSE")
     ap.add_argument("--vstagger", default="LOR",
                     help="vertical staggering: LEV | INT | LOR | CPH")
+    ap.add_argument("--vdisc", default="FE",
+                    help="vertical discretization: FE | FV (FV needs an "
+                         "even --vertorder >= 2)")
     ap.add_argument("--vstretch", default="uniform",
                     help="vertical stretch: uniform | cubic | pwlinear")
     ap.add_argument("--newtoniter", type=int, default=1,
@@ -188,6 +191,7 @@ def main(argv=None):
         raise SystemExit(f"unknown --vmethod {args.vmethod!r}")
     from .config import VerticalStaggering
     kw["vertical_staggering"] = VerticalStaggering(args.vstagger.upper())
+    kw["vertical_discretization"] = args.vdisc.upper()
     kw["vertical_stretch"] = args.vstretch
     kw["newton_iterations"] = args.newtoniter
     kw["vertical_upwinding"] = args.vertupwind

@@ -143,6 +143,9 @@ class ModelConfig:
     vertical_order: int = 1           # vertical FE order (--vertorder)
     vertical_staggering: VerticalStaggering = VerticalStaggering.LORENZ
     vertical_stretch: str = "uniform"  # --vstretch (uniform|cubic|pwlinear)
+    vertical_discretization: str = "FE"  # --vdisc (FE | FV); FV = cell-
+    #                                  # centered finite volumes with
+    #                                  # reconstruction order --vertorder
     ztop: float = 1.0                 # model cap height (m); 1.0 for 2D sets
     # Cartesian domain extents (grid_kind != CUBED_SPHERE)
     x_extent: tuple = (0.0, 1000.0)

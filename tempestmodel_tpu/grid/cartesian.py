@@ -181,6 +181,7 @@ def build_cartesian_geometry(
     bc_x: str = "periodic",
     bc_y: str = "periodic",
     staggering: str = "LOR",
+    vdisc: str = "FE",
     dtype=jnp.float64,
 ) -> CartesianGeometry:
     """Precompute the Cartesian geometry pytree (host-side float64).
@@ -270,6 +271,8 @@ def build_cartesian_geometry(
     # vertical coordinate + column operators
     if staggering == "INT":
         ops = co.build_column_ops_interfaces(nz, vertical_order, stretch)
+    elif vdisc == "FV":
+        ops = co.build_column_ops_fv(nz, vertical_order, stretch)
     else:
         ops = co.build_column_ops(nz, vertical_order, stretch)
     reta_lev, reta_int = ops.reta_lev, ops.reta_int
@@ -302,7 +305,7 @@ def build_cartesian_geometry(
 
     cast = lambda v: jnp.asarray(v, dtype=dtype)
     return CartesianGeometry(
-        nex=nex, ney=ney, p=p, nz=nz, vo=vertical_order, is_xz=is_xz,
+        nex=nex, ney=ney, p=p, nz=nz, vo=ops.vo, is_xz=is_xz,
         delta_a=float(da), delta_b=float(db),
         reference_length=float(min(abs(Lx), 110000.0)),
         gll_w=cast(w01), deriv=cast(D), stiff=cast(S),

@@ -378,6 +378,7 @@ def build_geometry(
     stretch=None,
     rayleigh=None,
     staggering: str = "LOR",
+    vdisc: str = "FE",
     dtype=jnp.float64,
 ) -> CubedSphereGeometry:
     """Precompute the full geometry pytree (host-side, float64).
@@ -475,6 +476,8 @@ def build_geometry(
     # (reference GridGLL::InitializeVerticalCoordinate, GridGLL.cpp:470-550)
     if staggering == "INT":
         ops = co.build_column_ops_interfaces(nz, vertical_order, stretch)
+    elif vdisc == "FV":
+        ops = co.build_column_ops_fv(nz, vertical_order, stretch)
     else:
         ops = co.build_column_ops(nz, vertical_order, stretch)
     reta_lev, reta_int = ops.reta_lev, ops.reta_int
@@ -516,7 +519,7 @@ def build_geometry(
 
     cast = lambda x: jnp.asarray(x, dtype=dtype)
     return CubedSphereGeometry(
-        ne=ne, p=p, nz=nz, vo=vertical_order,
+        ne=ne, p=p, nz=nz, vo=ops.vo,
         edge_meta=edge_meta, corner_meta=corner_meta,
         gll_w=cast(w01), deriv=cast(D), stiff=cast(S), interp_gl=cast(interp_gl),
         alpha=cast(alpha), lon=cast(lon), lat=cast(lat),

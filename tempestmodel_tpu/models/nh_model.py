@@ -38,6 +38,7 @@ def build_nh_cartesian_geometry(cfg: ModelConfig, topography=None,
         is_xz=(cfg.grid_kind == GridKind.CARTESIAN_XZ),
         reference_latitude=reference_latitude,
         staggering=cfg.vertical_staggering.value,
+        vdisc=cfg.vertical_discretization,
         stretch=_stretch(cfg), dtype=cfg.dtype)
 
 
@@ -84,6 +85,7 @@ def build_nh_sphere_geometry(cfg: ModelConfig, topography=None,
         ztop=ztop if ztop is not None else cfg.ztop,
         topography=topography, vertical_order=cfg.vertical_order,
         staggering=cfg.vertical_staggering.value,
+        vdisc=cfg.vertical_discretization,
         rayleigh=rayleigh, stretch=_stretch(cfg), dtype=cfg.dtype)
 
 

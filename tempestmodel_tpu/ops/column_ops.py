@@ -645,3 +645,93 @@ def build_column_ops_interfaces(nz: int, vertical_order: int,
         penalty_left=None, penalty_right=None,
         wscat_left=None, wscat_right=None,
     )
+
+
+# ---------------------------------------------------------------------------
+# FV vertical discretization (--vdisc FV): cell-centered finite volumes
+# with sliding-stencil polynomial reconstruction
+# ---------------------------------------------------------------------------
+
+def interp_n2i_fv(vo: int, lev, intf) -> np.ndarray:
+    """Levels -> interfaces by averaged left/right sliding Lagrange
+    stencils (``LinearColumnInterpFEM::InitializeReconstructed``,
+    ``LinearColumnOperatorFEM.cpp:209-330``; one-sided with weight 1 at
+    the boundaries)."""
+    nn, ni = len(lev), len(intf)
+    M = np.zeros((ni, nn))
+    for k in range(ni):
+        w = 1.0 if k in (0, ni - 1) else 0.5
+        if k != 0:
+            kb = max(k - (vo - 2) // 2 - 1, 0)
+            kl = min(k + (vo - 2) // 2 - 1, nn - 1)
+            M[k, kb:kl + 1] += w * quad.lagrange_interp_coeffs(
+                lev[kb:kl + 1], intf[k])
+        if k != ni - 1:
+            kb = max(k - (vo - 2) // 2, 0)
+            kl = min(k + (vo - 2) // 2, nn - 1)
+            M[k, kb:kl + 1] += w * quad.lagrange_interp_coeffs(
+                lev[kb:kl + 1], intf[k])
+    return M
+
+
+def build_column_ops_fv(nz: int, vertical_order: int,
+                        stretch=None) -> ColumnOps:
+    """ColumnOps for the FV vertical discretization
+    (``GridGLL::Initialize`` FV branch, ``GridGLL.cpp:191-250``):
+    cell-centered levels (one node per cell), conservative cell-flux
+    divergence diff_i2n, reconstruction-order-``vertical_order`` sliding
+    Lagrange interp/diff operators, order-1 variational diffdiff, and
+    per-interface upwind penalties (nFiniteElements == nRElements,
+    ``VerticalDynamicsFEM.cpp:2645-2660``)."""
+    vo = vertical_order
+    if vo < 2 or vo % 2 != 0:
+        raise ValueError(
+            "--vdisc FV requires an even --vertorder >= 2 "
+            "(reconstruction order; LinearColumnOperatorFEM.cpp:942-947)")
+    # FV vertical coordinate: one node per cell at the cell Gauss point
+    lev, intf, na_lev, na_int = vertical_coordinate(nz, 1, stretch)
+
+    # interfaces -> levels: central average / conservative divergence
+    Ii2n = np.zeros((nz, nz + 1))
+    Di2n = np.zeros((nz, nz + 1))
+    for k in range(nz):
+        dv = intf[k + 1] - intf[k]
+        Ii2n[k, k] = Ii2n[k, k + 1] = 0.5
+        Di2n[k, k] = -1.0 / dv
+        Di2n[k, k + 1] = +1.0 / dv
+
+    In2i = interp_n2i_fv(vo, lev, intf)
+
+    Di2i = np.zeros((nz + 1, nz + 1))
+    for k in range(nz + 1):
+        kb = max(k - vo // 2, 0)
+        kl = min(k + vo // 2, nz)
+        Di2i[k, kb:kl + 1] = quad.lagrange_diff_coeffs(
+            intf[kb:kl + 1], intf[k])
+    Dn2i = np.zeros((nz + 1, nz))
+    for k in range(nz + 1):
+        kb = max(k - vo // 2, 0)
+        kl = min(k + vo // 2 - 1, nz - 1)
+        Dn2i[k, kb:kl + 1] = quad.lagrange_diff_coeffs(
+            lev[kb:kl + 1], intf[k])
+
+    L, R = penalty_matrices(1, lev, intf)
+    nfe = nz
+    wsl = np.zeros((nz, max(nfe - 1, 1)))
+    wsr = np.zeros((nz, max(nfe - 1, 1)))
+    for a in range(nfe - 1):
+        wsl[a, a] = 1.0
+        wsr[a + 1, a] = 1.0
+
+    return ColumnOps(
+        nz=nz, vo=1, reta_lev=lev, reta_int=intf,
+        na_lev=na_lev, na_int=na_int,
+        interp_n2i=In2i, interp_i2n=Ii2n,
+        diff_n2n=Di2n @ In2i,
+        diff_n2n_zb=Di2n @ In2i,
+        diff_n2i=Dn2i, diff_i2n=Di2n, diff_i2i=Di2i,
+        diffdiff_n2n=diffdiff_matrix("node", 1, lev, intf),
+        diffdiff_i2i=diffdiff_matrix("redge", 1, lev, intf),
+        penalty_left=L, penalty_right=R,
+        wscat_left=wsl, wscat_right=wsr,
+    )

@@ -73,3 +73,66 @@ def test_vertical_stretch_maps():
         np.testing.assert_allclose(ops.diff_n2n @ f, 2.0, atol=1e-10)
         np.testing.assert_allclose(
             ops.interp_n2i @ f, 1.0 + 2.0 * ops.reta_int, atol=1e-10)
+
+
+class TestFVDiscretization:
+    """--vdisc FV: cell-centered finite volumes with sliding-stencil
+    reconstruction (GridGLL.cpp:191-250 FV branch)."""
+
+    def test_operators_interior_exactness(self):
+        from tempestmodel_tpu.ops import column_ops as co
+        ops = co.build_column_ops_fv(12, 2)
+        lev, intf = ops.reta_lev, ops.reta_int
+        # boundary rows use the reference's one-sided (constant at vo=2)
+        # stencils; interior rows are polynomial-exact
+        np.testing.assert_allclose((ops.interp_n2i @ lev)[1:-1],
+                                   intf[1:-1], atol=1e-12)
+        np.testing.assert_allclose(ops.diff_i2n @ intf ** 2, 2 * lev,
+                                   atol=1e-12)
+        np.testing.assert_allclose((ops.diff_n2i @ lev ** 2)[1:-1],
+                                   (2 * intf)[1:-1], atol=1e-10)
+        # per-interface upwinding structure (nFiniteElements == nz)
+        assert ops.vo == 1
+        assert ops.wscat_left.shape == (12, 11)
+
+    def test_requires_even_order(self):
+        from tempestmodel_tpu.ops import column_ops as co
+        import pytest
+        with pytest.raises(ValueError):
+            co.build_column_ops_fv(12, 1)
+        with pytest.raises(ValueError):
+            co.build_column_ops_fv(12, 3)
+
+    def test_igw_matches_fe(self):
+        """IGW theta' under FV(vo=2) matches FE(vo=1) closely (the
+        lowest-order operators coincide on the uniform grid)."""
+        import jax.numpy as jnp
+        from tempestmodel_tpu.config import ModelConfig, GridKind
+        from tempestmodel_tpu.models import nh_model
+        from tempestmodel_tpu.testcases.nonhydro_xz import InertiaGravityWave
+        tc = InertiaGravityWave()
+
+        def run(vdisc, vo):
+            cfg = ModelConfig(grid_kind=GridKind.CARTESIAN_XZ, nex=10,
+                              ney=1, order=4, nz=20, ztop=tc.ztop,
+                              x_extent=tc.x_extent, y_extent=tc.y_extent,
+                              dt=6.0, hyperdiffusion=False,
+                              vertical_order=vo,
+                              vertical_discretization=vdisc,
+                              vertical_solver="banded")
+            geom = nh_model.build_nh_cartesian_geometry(cfg)
+            s0 = tc.initial_state(geom, cfg.constants)
+            fs, st = nh_model.make_nh_step(cfg, geom)
+            s, c = fs(s0)
+            for _ in range(9):
+                s, c = st(s, c)
+            return s, s0
+
+        sF, s0F = run("FV", 2)
+        sE, s0E = run("FE", 1)
+        thF = np.abs(np.asarray(sF["Rt"] / sF["Rho"]
+                                - s0F["Rt"] / s0F["Rho"])).max()
+        thE = np.abs(np.asarray(sE["Rt"] / sE["Rho"]
+                                - s0E["Rt"] / s0E["Rho"])).max()
+        assert np.isfinite(thF)
+        assert abs(thF - thE) / thE < 0.01
