@@ -67,7 +67,7 @@ class FastGeometry:
     delta: float
     reference_length: float
     dss_links: tuple     # (panel, edge, nbr_panel, nbr_edge, flip) x 24
-    # dense (A, A) horizontal operators
+    # dense (A, A) horizontal operators along the first (a) axis
     DA: Any          # strong derivative: out_i = sum_s DA[i,s] f_s
     Sd: Any          # stiffness/delta:   weak_div = -(Sd@fa + fb@Sd^T)
     DA_elem: Any     # (p, p) raw GLL derivative matrix D[s, i]
@@ -106,6 +106,12 @@ class FastGeometry:
     rayleigh_lev: Any
     rayleigh_int: Any
     e_rot: Any       # (4, 24, A): [r00, r01, r10, r11] covariant transform
+    # (B, B) operators along the second (b) axis — equal to DA/Sd on a
+    # square block; they differ when the engine runs on a rectangular
+    # per-device block of a sharded mesh (A, B are then LOCAL extents)
+    B: int = 0
+    DA_b: Any = None
+    Sd_b: Any = None
 
 
 def build_fast_geometry(geom: CubedSphereGeometry,
@@ -141,10 +147,10 @@ def build_fast_geometry(geom: CubedSphereGeometry,
     j2 = np.asarray(geom.jac2d, f64)
 
     return FastGeometry(
-        nz=nz, p=p, ne=ne, A=A, vo=geom.vo, is_xz=False, delta=delta,
+        nz=nz, p=p, ne=ne, A=A, B=A, vo=geom.vo, is_xz=False, delta=delta,
         reference_length=float(geom.reference_length),
         dss_links=tuple(geom.edge_meta),
-        DA=c(DA), Sd=c(Sd), DA_elem=D, S_elem=S,
+        DA=c(DA), Sd=c(Sd), DA_b=c(DA), Sd_b=c(Sd), DA_elem=D, S_elem=S,
         interp_n2i=c(geom.interp_n2i), interp_i2n=c(geom.interp_i2n),
         diff_n2n=c(geom.diff_n2n), diff_n2i=c(geom.diff_n2i),
         diff_i2n=c(geom.diff_i2n), diff_i2i=c(geom.diff_i2i),
@@ -185,20 +191,20 @@ def hderiv_a(f, fg: FastGeometry):
 
 
 def hderiv_b(f, fg: FastGeometry):
-    return jnp.einsum("cpas,is->cpai", f, fg.DA)
+    return jnp.einsum("cpas,is->cpai", f, fg.DA_b)
 
 
 def hweak_div(fa, fb, fg: FastGeometry):
     """Variational divergence (positive = divergence), sem.weak_div port."""
     wa = jnp.einsum("is,cpsb->cpib", fg.Sd, fa)
-    wb = jnp.einsum("cpas,is->cpai", fb, fg.Sd)
+    wb = jnp.einsum("cpas,is->cpai", fb, fg.Sd_b)
     return -(wa + wb)
 
 
 def hweak_grad(f, fg: FastGeometry):
     """(-Sd @ f, -f @ Sd^T): weak gradients along a and b."""
     return (-jnp.einsum("is,cpsb->cpib", fg.Sd, f),
-            -jnp.einsum("cpas,is->cpai", f, fg.Sd))
+            -jnp.einsum("cpas,is->cpai", f, fg.Sd_b))
 
 
 def colop(M, f):
@@ -354,11 +360,13 @@ def apply_rayleigh(d, fac, ref_term):
 
 
 def step_after_subcycle(d, dt, cfg: ModelConfig, fg: FastGeometry,
-                        rayleigh=None):
+                        rayleigh=None, dss_fn=None):
     """nu4/nu2 hyperviscosity + DSS (+ optional Rayleigh) Strang tail."""
+    if dss_fn is None:
+        dss_fn = lambda ds: apply_dss(ds, fg)
 
     def finish(ds):
-        ds = apply_dss(ds, fg)
+        ds = dss_fn(ds)
         if rayleigh is not None:
             ds = apply_rayleigh(ds, *rayleigh)
         return ds
@@ -397,7 +405,7 @@ def step_after_subcycle(d, dt, cfg: ModelConfig, fg: FastGeometry,
         "Rho": scalar_laplacian(d["Rho"], fg.jac3d, fg),
         "W": scalar_laplacian(d["W"], fg.jac3d_int, fg),
     }
-    work = apply_dss(work, fg)
+    work = dss_fn(work)
 
     du, dv = vector_hyperdiff_update(work["U"], work["V"], nu_d, nu_v, fg)
     out = {
@@ -420,52 +428,60 @@ def fast_engine_supported(cfg: ModelConfig, has_tracers: bool = False,
                           mesh=None) -> bool:
     """The configurations the z-first engine covers."""
     from ..config import TimestepSchemeType
-    return (cfg.grid_kind == GridKind.CUBED_SPHERE
-            and cfg.vertical_staggering == VerticalStaggering.LORENZ
-            and cfg.timescheme == TimestepSchemeType.STRANG
-            and not cfg.explicit_vertical
-            and cfg.vertical_solver in ("banded", "pallas")
-            and cfg.nu_uniform_scalar == 0.0
-            and cfg.nu_uniform_vector == 0.0
-            and not has_tracers
-            and mesh is None)
+    ok = (cfg.grid_kind == GridKind.CUBED_SPHERE
+          and cfg.vertical_staggering == VerticalStaggering.LORENZ
+          and cfg.timescheme == TimestepSchemeType.STRANG
+          and not cfg.explicit_vertical
+          and cfg.vertical_solver in ("banded", "pallas")
+          and cfg.nu_uniform_scalar == 0.0
+          and cfg.nu_uniform_vector == 0.0
+          and not has_tracers)
+    if ok and mesh is not None:
+        A = cfg.ne * cfg.order
+        try:
+            mx, my = mesh.shape["x"], mesh.shape["y"]
+        except (KeyError, AttributeError):
+            return False
+        ok = (A % mx == 0 and A % my == 0
+              and (A // mx) % cfg.order == 0 and (A // my) % cfg.order == 0)
+    return ok
 
 
-def make_fast_step(cfg: ModelConfig, geom: CubedSphereGeometry,
-                   ref_state=None):
-    """(first_step, step) on the fast state: step(d, carry) -> (d, carry).
+def _rayleigh_terms(cfg: ModelConfig, geom, ref_state):
+    """(fac, ref_term) z-first damping tensors, or None (host precompute;
+    the reference's 10-cycle implicit Rayleigh factor)."""
+    if not (cfg.rayleigh_damping and ref_state is not None):
+        return None
+    n_cycles = 10
+    dt = cfg.dt
 
-    Drop-in semantics of ``timestep/strang.make_strang_step`` for the
-    supported configuration subset (``fast_engine_supported``).
+    def fac_of(r):
+        return (1.0 / (1.0 + dt * np.asarray(r, np.float64)
+                       / n_cycles)) ** n_cycles
+
+    fac_lev = np.moveaxis(fac_of(geom.rayleigh_lev), -1, 0)
+    fac_int = np.moveaxis(fac_of(geom.rayleigh_int), -1, 0)
+    fac = {"U": fac_lev, "V": fac_lev, "Rt": fac_lev,
+           "Rho": np.ones_like(fac_lev), "W": fac_int}
+    fac = {k: jnp.asarray(v, cfg.dtype) for k, v in fac.items()}
+    ref_zf = pack_state({k: jnp.asarray(np.asarray(v), cfg.dtype)
+                         for k, v in ref_state.items()})
+    ref_term = tree_map(lambda f, r: (1.0 - f) * r, fac, ref_zf)
+    return (fac, ref_term)
+
+
+def _strang_fns(cfg: ModelConfig, fg: FastGeometry, rayleigh, dss_fn,
+                implicit_fn, use_fused_stage: bool):
+    """The Strang-HEVI step on z-first state, parameterized over the DSS
+    and implicit-solve implementations so the single-device and
+    shard_map-distributed engines share one driver.
+
+    Returns unjitted (first_fn, step_fn): first_fn(d) -> (d, carry),
+    step_fn(d, carry) -> (d, carry).
     """
-    from . import implicit as fimp
-
     constants = cfg.constants
     dt = cfg.dt
     oc = cfg.off_centering
-    fg = build_fast_geometry(geom, dtype=cfg.dtype)
-
-    q = nonhydro.estimate_bandwidth(geom, constants)
-    statics = nonhydro.band_assembly_statics(geom, q)
-    use_pallas = cfg.vertical_solver == "pallas"
-
-    rayleigh = None
-    if cfg.rayleigh_damping and ref_state is not None:
-        n_cycles = 10
-
-        def fac_of(r):
-            return (1.0 / (1.0 + dt * np.asarray(r, np.float64)
-                           / n_cycles)) ** n_cycles
-
-        fac_lev = np.moveaxis(fac_of(geom.rayleigh_lev), -1, 0)
-        fac_int = np.moveaxis(fac_of(geom.rayleigh_int), -1, 0)
-        fac = {"U": fac_lev, "V": fac_lev, "Rt": fac_lev,
-               "Rho": np.ones_like(fac_lev), "W": fac_int}
-        fac = {k: jnp.asarray(v, cfg.dtype) for k, v in fac.items()}
-        ref_zf = pack_state({k: jnp.asarray(np.asarray(v), cfg.dtype)
-                             for k, v in ref_state.items()})
-        ref_term = tree_map(lambda f, r: (1.0 - f) * r, fac, ref_zf)
-        rayleigh = (fac, ref_term)
 
     def axpy(base, tend, dt_s):
         return tree_map(lambda b, t: b + dt_s * t, base, tend)
@@ -474,9 +490,6 @@ def make_fast_step(cfg: ModelConfig, geom: CubedSphereGeometry,
         coeffs, states = zip(*coeff_states)
         return tree_map(
             lambda *xs: sum(c * x for c, x in zip(coeffs, xs)), *states)
-
-    use_fused_stage = (fg.vo == 1 and fg.A % 8 == 0 and fg.p <= 8
-                       and 8 % fg.p == 0)
 
     def stage(base, ueval, dt_s):
         """base: state dict or 2-term ((c1, d1), (c2, d2)) combination
@@ -490,7 +503,7 @@ def make_fast_step(cfg: ModelConfig, geom: CubedSphereGeometry,
             tend = horizontal_tendency(ueval, fg, constants)
             upd = axpy(base, tend, dt_s)
             upd = apply_w_boundary(upd, fg)
-        return apply_dss(upd, fg)
+        return dss_fn(upd)
 
     def erk(X0):
         scheme = cfg.explicit_scheme
@@ -529,37 +542,175 @@ def make_fast_step(cfg: ModelConfig, geom: CubedSphereGeometry,
                           (0.237593836598569, u2)), u0b, c5 * dt)
         raise ValueError(f"unsupported explicit scheme {scheme}")
 
-    def implicit(d, dti):
-        return fimp.vertical_implicit(
-            d, fg, constants, dti, q, statics,
-            newton_iters=cfg.newton_iterations, use_pallas=use_pallas,
-            ref_jacobian=(cfg.jacobian_mode == "reference"))
-
     def tail(X):
         u4 = erk(X)
-        u1 = step_after_subcycle(u4, dt, cfg, fg, rayleigh=rayleigh)
-        u0 = implicit(u1, 0.5 * (1.0 + oc) * dt)
+        u1 = step_after_subcycle(u4, dt, cfg, fg, rayleigh=rayleigh,
+                                 dss_fn=dss_fn)
+        u0 = implicit_fn(u1, 0.5 * (1.0 + oc) * dt)
         if oc != 0.0:
             u0 = comb((0.5 * (2.0 - oc), u0), (0.5 * oc, u1))
         carry = tree_map(lambda a, b: a - b, u0, u1)
         return u0, carry
 
+    def first_fn(d):
+        return tail(implicit_fn(d, 0.5 * dt))
+
+    def step_fn(d, carry):
+        return tail(tree_map(lambda a, b: a + b, d, carry))
+
+    return first_fn, step_fn
+
+
+def make_fast_step(cfg: ModelConfig, geom: CubedSphereGeometry,
+                   ref_state=None, mesh=None):
+    """(first_step, step) on the fast state: step(d, carry) -> (d, carry).
+
+    Drop-in semantics of ``timestep/strang.make_strang_step`` for the
+    supported configuration subset (``fast_engine_supported``).
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with axes ("x", "y") — the
+    SAME z-first engine runs per-shard inside one ``shard_map``, with the
+    statically-routed ppermute DSS of ``fast/mesh_dss.py`` as the only
+    communication (the distributed analog of the reference's one hot
+    loop being its distributed loop, ``HorizontalDynamicsFEM.cpp:701`` +
+    ``Connectivity.cpp:928``).
+    """
+    if mesh is not None:
+        return _make_fast_step_mesh(cfg, geom, ref_state, mesh)
+
+    from . import implicit as fimp
+
+    constants = cfg.constants
+    fg = build_fast_geometry(geom, dtype=cfg.dtype)
+
+    q = nonhydro.estimate_bandwidth(geom, constants)
+    statics = nonhydro.band_assembly_statics(geom, q)
+    use_pallas = cfg.vertical_solver == "pallas"
+    rayleigh = _rayleigh_terms(cfg, geom, ref_state)
+    use_fused_stage = (fg.vo == 1 and fg.A % 8 == 0 and fg.p <= 8
+                       and 8 % fg.p == 0)
+
+    def implicit_fn(d, dti):
+        return fimp.vertical_implicit(
+            d, fg, constants, dti, q, statics,
+            newton_iters=cfg.newton_iterations, use_pallas=use_pallas,
+            ref_jacobian=(cfg.jacobian_mode == "reference"))
+
+    first_fn, step_fn = _strang_fns(
+        cfg, fg, rayleigh, lambda d: apply_dss(d, fg), implicit_fn,
+        use_fused_stage)
+    return jax.jit(first_fn), jax.jit(step_fn)
+
+
+def _make_fast_step_mesh(cfg: ModelConfig, geom: CubedSphereGeometry,
+                         ref_state, mesh):
+    """The z-first engine distributed over a device mesh: the entire
+    Strang step runs inside ONE shard_map; per-shard compute is the same
+    code as the single-device engine on a rectangular (a, b) block, and
+    all communication is the routed ppermute exchange of
+    ``fast/mesh_dss.py`` (cross-shard element pairs + panel edges)."""
+    from jax.sharding import PartitionSpec as P
+    from . import implicit as fimp
+    from . import mesh_dss
+
+    constants = cfg.constants
+    fg_full = build_fast_geometry(geom, dtype=cfg.dtype)
+    mx, my = mesh.shape["x"], mesh.shape["y"]
+    A, p = fg_full.A, fg_full.p
+    a, b = A // mx, A // my
+    if A % mx or A % my or a % p or b % p:
+        raise ValueError(
+            f"fast mesh engine needs mesh sizes dividing ne: A={A}, "
+            f"p={p}, mesh=({mx},{my})")
+
+    f64 = np.float64
+    D = np.asarray(fg_full.DA_elem, f64)
+    S = np.asarray(fg_full.S_elem, f64)
+    delta = fg_full.delta
+
+    def cc(x):
+        return jnp.asarray(x, cfg.dtype)
+
+    # geometry fields that must arrive per-shard (everything with a
+    # horizontal extent); small operators stay closure constants
+    BIG3 = ("c2_aa", "c2_ab", "c2_ba", "c2_bb", "jac2d", "fj", "inv_mult")
+    BIG4 = ("jac3d", "jac3d_int", "con_a_xi", "con_b_xi", "con_xi_xi",
+            "con_a_xi_int", "con_b_xi_int", "con_xi_xi_int",
+            "deriv_r_a", "deriv_r_b", "deriv_r_xi_int")
+    gbig = {k: getattr(fg_full, k) for k in BIG3 + BIG4}
+    gspec = {k: (P(None, "x", "y") if k in BIG3
+                 else P(None, None, "x", "y")) for k in gbig}
+    template = dataclasses.replace(
+        fg_full, A=a, B=b,
+        DA=cc(np.kron(np.eye(a // p), D.T) / delta),
+        Sd=cc(np.kron(np.eye(a // p), S) / delta),
+        DA_b=cc(np.kron(np.eye(b // p), D.T) / delta),
+        Sd_b=cc(np.kron(np.eye(b // p), S) / delta),
+        rayleigh_lev=None, rayleigh_int=None,
+        **{k: None for k in gbig})
+
+    q = nonhydro.estimate_bandwidth(geom, constants)
+    statics = nonhydro.band_assembly_statics(geom, q)
+    use_pallas = cfg.vertical_solver == "pallas"
+    rayleigh = _rayleigh_terms(cfg, geom, ref_state)
+    ray = {} if rayleigh is None else {"fac": rayleigh[0],
+                                       "ref": rayleigh[1]}
+    rayspec = {k: {f: P(None, None, "x", "y") for f in v}
+               for k, v in ray.items()}
+
+    dss_state_fn = mesh_dss.make_state_dss_mesh(
+        fg_full.dss_links, np.asarray(fg_full.e_rot), mx, my, A, p,
+        fg_full.nz)
+
+    use_fused_stage = (template.vo == 1 and a % 8 == 0 and p <= 8
+                       and 8 % p == 0)
+    sspec = {k: P(None, None, "x", "y") for k in FIELDS}
+
+    def build_fns(fg_loc, ray_loc):
+        def implicit_fn(d, dti):
+            return fimp.vertical_implicit(
+                d, fg_loc, constants, dti, q, statics,
+                newton_iters=cfg.newton_iterations, use_pallas=use_pallas,
+                ref_jacobian=(cfg.jacobian_mode == "reference"))
+
+        rr = None if not ray_loc else (ray_loc["fac"], ray_loc["ref"])
+        return _strang_fns(
+            cfg, fg_loc, rr, lambda d: dss_state_fn(d, fg_loc.inv_mult),
+            implicit_fn, use_fused_stage)
+
+    def body_first(d, gb, ray_loc):
+        fg_loc = dataclasses.replace(template, **gb)
+        return build_fns(fg_loc, ray_loc)[0](d)
+
+    def body_step(d, carry, gb, ray_loc):
+        fg_loc = dataclasses.replace(template, **gb)
+        return build_fns(fg_loc, ray_loc)[1](d, carry)
+
+    # check_vma=False: the Pallas stage/implicit kernels cannot declare
+    # varying-mesh-axes metadata on their out_shapes
+    smap_first = jax.shard_map(body_first, mesh=mesh,
+                               in_specs=(sspec, gspec, rayspec),
+                               out_specs=(sspec, sspec), check_vma=False)
+    smap_step = jax.shard_map(body_step, mesh=mesh,
+                              in_specs=(sspec, sspec, gspec, rayspec),
+                              out_specs=(sspec, sspec), check_vma=False)
+
     @jax.jit
     def first_step(d):
-        return tail(implicit(d, 0.5 * dt))
+        return smap_first(d, gbig, ray)
 
     @jax.jit
     def step(d, carry):
-        return tail(tree_map(lambda a, b: a + b, d, carry))
+        return smap_step(d, carry, gbig, ray)
 
     return first_step, step
 
 
 def make_fast_multistep(cfg: ModelConfig, geom: CubedSphereGeometry,
-                        inner_steps: int, ref_state=None):
+                        inner_steps: int, ref_state=None, mesh=None):
     """K fast steps fused under one jit with lax.scan (removes per-step
     dispatch latency; the dict-of-arrays carry keeps scan copies small)."""
-    first_step, step = make_fast_step(cfg, geom, ref_state)
+    first_step, step = make_fast_step(cfg, geom, ref_state, mesh=mesh)
 
     @jax.jit
     def multi(d, carry):

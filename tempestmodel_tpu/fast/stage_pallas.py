@@ -172,7 +172,7 @@ def fused_stage(base, ueval, dt_s, fg, constants, ac: int = 8,
     else:
         cb1, base1, cb2, base2 = 1.0, base, 0.0, base
     nz, p = fg.nz, fg.p
-    A = fg.A
+    A, B = fg.A, fg.B
     dtype = base1["U"].dtype
     assert A % ac == 0 and ac % p == 0
     grid = (6, A // ac)
@@ -208,7 +208,7 @@ def fused_stage(base, ueval, dt_s, fg, constants, ac: int = 8,
     m2d = jnp.stack([fg.c2_aa, fg.c2_ab, fg.c2_ba, fg.c2_bb, fg.fj])
 
     def spec(K):
-        return pl.BlockSpec((K, 1, ac, A), lambda ip, ia: (0, ip, ia, 0),
+        return pl.BlockSpec((K, 1, ac, B), lambda ip, ia: (0, ip, ia, 0),
                             memory_space=pltpu.VMEM)
 
     def whole(a):
@@ -216,8 +216,8 @@ def fused_stage(base, ueval, dt_s, fg, constants, ac: int = 8,
         return pl.BlockSpec(a.shape, (lambda n: lambda ip, ia: (0,) * n)(nd),
                             memory_space=pltpu.VMEM)
 
-    SdT = jnp.asarray(np.asarray(fg.Sd).T, dtype)
-    DAT = jnp.asarray(np.asarray(fg.DA).T, dtype)
+    SdT = jnp.asarray(np.asarray(fg.Sd_b).T, dtype)
+    DAT = jnp.asarray(np.asarray(fg.DA_b).T, dtype)
     dts = jnp.asarray([[dt_s, cb1, cb2]], dtype)
 
     field_in = [u, v, ueval["Rt"], ueval["Rho"], w_n, du_dxi, dv_dxi,

@@ -49,11 +49,16 @@ def _build(ne: int, nz: int, dtype):
 
 
 def measure(n_devices: int, ne: int, nz: int = 10, steps: int = 5,
-            dtype=None, reps: int = 3, explicit: bool = True) -> dict:
+            dtype=None, reps: int = 3, explicit: bool = True,
+            engine: str = "reference") -> dict:
     """Gridpoint-steps/s of the flagship step on an n-device mesh.
 
     ``explicit``: route DSS + the vertical implicit solve through the
     shard_map layer (``parallel/dss_shardmap``); False = GSPMD only.
+    ``engine``: "reference" = the reference-layout engine;
+    "fast" = the z-first Pallas engine via its own shard_map +
+    routed-ppermute distribution (``fast/mesh_dss``) — the SAME code
+    path the single-chip bench runs.
     """
     import jax
     import jax.numpy as jnp
@@ -67,9 +72,17 @@ def measure(n_devices: int, ne: int, nz: int = 10, steps: int = 5,
     mx, my = _mesh_shape(n_devices)
     mesh = Mesh(np.array(jax.devices()[:n_devices]).reshape(mx, my),
                 ("x", "y"))
-    first_step, multi = nh_model.make_nh_multistep(
-        cfg, geom, steps, mesh=mesh if (explicit and n_devices > 1) else None)
-    spec = NamedSharding(mesh, P(None, "x", "y"))
+    if engine == "fast":
+        from tempestmodel_tpu import fast
+        first_step, multi = fast.engine.make_fast_multistep(
+            cfg, geom, steps, mesh=mesh if n_devices > 1 else None)
+        state = fast.pack_state(state)
+        spec = NamedSharding(mesh, P(None, None, "x", "y"))
+    else:
+        first_step, multi = nh_model.make_nh_multistep(
+            cfg, geom, steps,
+            mesh=mesh if (explicit and n_devices > 1) else None)
+        spec = NamedSharding(mesh, P(None, "x", "y"))
     state = jax.tree.map(lambda a: jax.device_put(a, spec), state)
     with mesh:
         state, carry = first_step(state)
@@ -83,6 +96,7 @@ def measure(n_devices: int, ne: int, nz: int = 10, steps: int = 5,
             best = min(best, (time.perf_counter() - t0) / steps)
     npts = 6 * (ne * 4) ** 2 * nz
     return {"n_devices": n_devices, "mesh": [mx, my], "ne": ne, "nz": nz,
+            "engine": engine,
             "gridpoints": npts, "sec_per_step": best,
             "gps_total": npts / best,
             "gps_per_device": npts / best / n_devices}
@@ -103,9 +117,17 @@ def scaling_report(device_counts=(1, 2, 4, 8), ne_strong: int = 8,
         if n > avail:
             continue
         out["weak"].append(measure(n, ne, nz, steps))
-    s0 = out["strong"][0]["gps_per_device"] if out["strong"] else None
-    for r in out["strong"]:
-        r["efficiency"] = r["gps_per_device"] / s0 if s0 else None
+    out["strong_fast"] = []
+    for n in device_counts:
+        if n > avail:
+            continue
+        out["strong_fast"].append(
+            measure(n, ne_strong, nz, steps, engine="fast"))
+    for key in ("strong", "strong_fast"):
+        if out[key]:
+            s0 = out[key][0]["gps_per_device"]
+            for r in out[key]:
+                r["efficiency"] = r["gps_per_device"] / s0
     if out["weak"]:
         w0 = out["weak"][0]["gps_per_device"]
         for r in out["weak"]:
