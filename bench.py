@@ -208,7 +208,112 @@ def main():
     else:
         result["vs_baseline"] = gps / base["value"]
 
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
+
+    # --- secondary BASELINE.json configs (one JSON line each) ----------
+    # These make fast-path-envelope costs visible: the moist case rides
+    # the fast engine WITH tracers; the Cartesian xz case still runs the
+    # reference-layout engine.  TM_BENCH_CONFIGS=main skips them.
+    if os.environ.get("TM_BENCH_CONFIGS", "all") != "main":
+        try:
+            _secondary_moist(inner)
+        except Exception as e:                       # pragma: no cover
+            print(json.dumps({"metric": "moist-secondary-failed",
+                              "error": str(e)[:200]}), flush=True)
+        try:
+            _secondary_xz(inner)
+        except Exception as e:                       # pragma: no cover
+            print(json.dumps({"metric": "xz-secondary-failed",
+                              "error": str(e)[:200]}), flush=True)
+
+
+def _secondary_moist(inner):
+    """DCMIP2016 moist baroclinic wave (3 tracers), fast engine."""
+    import jax
+    import jax.numpy as jnp
+    from tempestmodel_tpu.config import ModelConfig, GridKind
+    from tempestmodel_tpu.models import nh_model
+    from tempestmodel_tpu.testcases.dcmip2016 import MoistBaroclinicWave
+    from tempestmodel_tpu import fast
+
+    ne, nz = 30, 30
+    tc = MoistBaroclinicWave()
+    on_tpu = jax.default_backend() != "cpu"
+    cfg = ModelConfig(grid_kind=GridKind.CUBED_SPHERE, ne=ne, order=4,
+                      nz=nz, ztop=tc.ztop, dt=100.0, hyperdiffusion=True,
+                      nu_scalar=1e15, nu_div=1e15, nu_vort=1e15,
+                      vertical_solver="pallas" if on_tpu else "banded",
+                      dtype=jnp.float32)
+    geom = nh_model.build_nh_sphere_geometry(cfg, ztop=tc.ztop)
+    state = tc.initial_state(geom, cfg.constants, dtype=jnp.float32)
+    first_step, step1 = fast.make_fast_step(cfg, geom)
+    s0 = fast.pack_state(state)
+    s, c = first_step(s0)
+    per_step = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ss, cc = s, c
+        for _ in range(inner):
+            ss, cc = step1(ss, cc)
+        import jax as _j
+        _j.block_until_ready(ss["U"])
+        per_step = min(per_step, (time.perf_counter() - t0) / inner)
+    npts = 6 * (ne * 4) ** 2 * nz
+    print(json.dumps({
+        "metric": "gridpoint-steps/sec/chip (DCMIP moist baroclinic "
+                  "wave ne30 p4 L30 +3 tracers f32)",
+        "value": npts / per_step, "unit": "gridpoint-steps/s",
+        "engine": "fast+tracers",
+        "ms_per_step": per_step * 1e3,
+        "finite": bool(jax.numpy.isfinite(ss["Tracers"]).all()),
+    }), flush=True)
+
+
+def _secondary_xz(inner):
+    """Schar mountain waves, Cartesian xz slice (reference-layout
+    engine — the fast engine does not cover Cartesian grids yet)."""
+    import jax
+    import jax.numpy as jnp
+    from tempestmodel_tpu.config import (ModelConfig, GridKind,
+                                         EquationSet)
+    from tempestmodel_tpu.models import nh_model
+    from tempestmodel_tpu.testcases.nonhydro_xz import ScharMountain
+
+    tc = ScharMountain()
+    nex, nz = 100, 40
+    cfg = ModelConfig(grid_kind=GridKind.CARTESIAN_XZ, nex=nex, ney=1,
+                      order=4, nz=nz, ztop=tc.ztop,
+                      x_extent=tc.x_extent, y_extent=tc.y_extent,
+                      dt=0.5, hyperdiffusion=True,
+                      nu_scalar=1e7, nu_div=1e7, nu_vort=1e7,
+                      rayleigh_damping=True,
+                      equation_set=EquationSet.PRIMITIVE_NONHYDRO,
+                      dtype=jnp.float32)
+    geom = nh_model.build_nh_cartesian_geometry(
+        cfg, topography=tc.topography, ztop=tc.ztop,
+        rayleigh=tc.rayleigh_strength, bc_x="periodic", bc_y="periodic")
+    state = tc.initial_state(geom, cfg.constants, dtype=jnp.float32)
+    ref = tc.reference_state(geom, cfg.constants, dtype=jnp.float32) \
+        if hasattr(tc, "reference_state") else None
+    first_step, step1 = nh_model.make_nh_step(cfg, geom, ref_state=ref)
+    s, c = first_step(state)
+    per_step = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ss, cc = s, c
+        for _ in range(inner):
+            ss, cc = step1(ss, cc)
+        jax.block_until_ready(ss["Rho"])
+        per_step = min(per_step, (time.perf_counter() - t0) / inner)
+    npts = nex * 4 * 4 * nz
+    print(json.dumps({
+        "metric": "gridpoint-steps/sec/chip (Schar mountain xz "
+                  "nex100 p4 L40 f32)",
+        "value": npts / per_step, "unit": "gridpoint-steps/s",
+        "engine": "reference-layout",
+        "ms_per_step": per_step * 1e3,
+        "finite": bool(jax.numpy.isfinite(ss["Rho"]).all()),
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -176,6 +176,15 @@ class ModelConfig:
     # --- vertical solver ---
     newton_iterations: int = 1        # reference default does 1 Newton step/solve
     vertical_upwinding: float = 0.0   # upwinding coefficient in vertical fluxes
+    upwind_thermo: bool = True        # implicit Rt/Rho upwind penalty (the
+    #                                 # reference's UPWIND_THERMO /
+    #                                 # UPWIND_RHO_AND_TRACERS compile flags,
+    #                                 # VerticalDynamicsFEM.cpp:38-40); False
+    #                                 # matches a reference build with those
+    #                                 # commented out (terrain-golden mode —
+    #                                 # their d/dW Jacobian entries carry
+    #                                 # sign(u^xi) which is roundoff noise at
+    #                                 # W = 0, see docs/VALIDATION.md)
     vertical_solver: str = "banded"   # "banded" (DGBSV analog) | "dense"
     #                                 # | "pallas" (fused TPU kernel)
     #                                 # | "jfnk" (matrix-free GMRES)
@@ -188,6 +197,12 @@ class ModelConfig:
     # --- numerics ---
     dtype: jnp.dtype = jnp.float64    # fp64 for parity tests; fp32/bf16 for speed
     fuse_pallas: bool = True          # use pallas kernels on TPU where available
+    halo_overlap: bool = False        # mesh DSS: overlap-scheduled halo
+    #                                 # exchange (collectives issued from
+    #                                 # line-only compute before interior
+    #                                 # work; bit-equal to inline; the
+    #                                 # reference's Isend-early/Wait-late,
+    #                                 # Grid.cpp:627-665)
 
     # --- physics constants ---
     constants: PhysicalConstants = DEFAULT_CONSTANTS

@@ -147,6 +147,174 @@ def _grid_spec(K, cb, A, B, n_data: int, extras):
     return grid, [data_spec] * n_data + whole, data_spec
 
 
+def _state_kernel(p, links, has_ray, refs):
+    """All five fields in ONE launch: U/V rotate as a covariant pair,
+    Rt/Rho/W DSS as scalars; optional fused Rayleigh finish
+    (x <- fac * x + ref, the ``engine.apply_rayleigh`` term form).
+
+    One launch per DSS call instead of four: the multiplicity weights and
+    rotation tables are read once, and the whole state stays resident in
+    VMEM per z-block (the W field rides with one extra level per block;
+    Pallas masks the out-of-range rows of the nz-level fields)."""
+    nray = 10 if has_ray else 0
+    ins = refs[:7 + nray]
+    outs = refs[7 + nray:]
+    u_ref, v_ref, rt_ref, rho_ref, w_ref, imult_ref, rot_ref = ins[:7]
+    ray = ins[7:]
+    uout, vout, rtout, rhoout, wout = outs
+
+    fields = [_pair_sum(r[...], p)
+              for r in (u_ref, v_ref, rt_ref, rho_ref, w_ref)]
+    A = fields[0].shape[2]
+    B = fields[0].shape[3]
+    cb = fields[0].shape[0]
+    dt_ = fields[0].dtype
+    rev = _rev_matrix(A, dt_)
+
+    # Bottom/top edges live on the LANE-minor axis; slicing/updating them
+    # per link costs a cross-lane shuffle each (measured: the dominant
+    # kernel cost).  Read each boundary lane-column ONCE per field as a
+    # (cb, 6, A) row-form tensor, and accumulate bottom/top contributions
+    # into row-form accumulators flushed with ONE lane update per
+    # boundary per field.
+    bread = [f[..., 0] for f in fields]          # (cb, 6, A)
+    tread = [f[..., B - 1] for f in fields]
+
+    def read_line(j, qa, qe):
+        if qe == EDGE_LEFT:
+            return fields[j][:, qa, 0:1, :]
+        if qe == EDGE_RIGHT:
+            return fields[j][:, qa, A - 1:A, :]
+        if qe == EDGE_BOTTOM:
+            return bread[j][:, qa:qa + 1, :]
+        return tread[j][:, qa:qa + 1, :]
+
+    outs5 = [uout, vout, rtout, rhoout, wout]
+    for j, (f, out) in enumerate(zip(fields, outs5)):
+        out[...] = f
+
+    # each (panel, edge) occurs exactly once in the link table, so the
+    # bottom/top contributions are collected per panel and flushed with
+    # one concatenate + one lane update per boundary per field
+    badd = [[None] * 6 for _ in range(5)]
+    tadd = [[None] * 6 for _ in range(5)]
+
+    def add_line(j, pa, e, line):
+        if e == EDGE_LEFT:
+            outs5[j][:, pa, 0:1, :] += line
+        elif e == EDGE_RIGHT:
+            outs5[j][:, pa, A - 1:A, :] += line
+        elif e == EDGE_BOTTOM:
+            badd[j][pa] = line
+        else:
+            tadd[j][pa] = line
+
+    for i, (pa, e, qa, qe, flip) in enumerate(links):
+        def line_of(j):
+            line = read_line(j, qa, qe)
+            if flip:
+                line = _flip_row(line, rev)
+            return line
+
+        lu = line_of(0)
+        lv = line_of(1)
+        m00 = rot_ref[0, i:i + 1, :][None]
+        m01 = rot_ref[1, i:i + 1, :][None]
+        m10 = rot_ref[2, i:i + 1, :][None]
+        m11 = rot_ref[3, i:i + 1, :][None]
+        add_line(0, pa, e, m00 * lu + m01 * lv)
+        add_line(1, pa, e, m10 * lu + m11 * lv)
+        for j in (2, 3, 4):
+            add_line(j, pa, e, line_of(j))
+
+    # flush the collected bottom/top lines: panel one-hot broadcasts
+    # (elementwise, so Mosaic relayouts the heterogeneous line layouts)
+    # then ONE lane-column update per boundary per field
+    panel_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 6, 1), 1)
+
+    def flush(lines):
+        acc = jnp.zeros((cb, 6, A), dt_)
+        for pa, l in enumerate(lines):
+            if l is not None:
+                acc = acc + jnp.where(panel_iota == pa, l, 0.0)
+        return acc
+
+    w_ = imult_ref[...][None]
+    for j, out in enumerate(outs5):
+        out[:, :, :, 0:1] += flush(badd[j]).reshape(cb, 6, A, 1)
+        out[:, :, :, B - 1:B] += flush(tadd[j]).reshape(cb, 6, A, 1)
+        if has_ray:
+            out[...] = ray[j][...] * (out[...] * w_) + ray[5 + j][...]
+        else:
+            out[...] = out[...] * w_
+
+
+def dss_state(d, imult, rot, links, p: int, cb: int = 4, rayleigh=None,
+              interpret=None):
+    """DSS of the full fast state in ONE kernel launch.
+
+    ``d``: dict U/V/Rt/Rho (nz, 6, A, B) + W (nz+1, 6, A, B).
+    ``rayleigh``: optional (fac, ref_term) state dicts fused into the
+    same launch (x <- fac * x + ref after normalization).
+
+    MEASURED NEGATIVE RESULT (kept for the record + as the fused-rayleigh
+    variant): on v5e at ne30 L30 f32 this one-launch form runs at
+    ~355 us/call IN CONTEXT vs ~280 us for the four separate launches of
+    ``dss_vector`` + 3x ``dss_scalar`` (engine.apply_dss) — the smaller
+    kernels pipeline better against neighboring XLA kernels even though
+    isolated timings are equal.  Bitwise-identical output either way."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    nz1, _, A, B = d["W"].shape
+    nz = nz1 - 1
+    # the grid spans W's nz+1 levels; the nz-level fields tolerate a
+    # PARTIALLY out-of-range last block (Pallas masks it) but a FULLY
+    # out-of-range one is illegal — require the last block to start
+    # inside [0, nz).  Search near the requested cb for a size whose
+    # last block still intersects the nz-level fields.
+    def _ok(c):
+        return (pl.cdiv(nz1, c) - 1) * c < nz
+
+    if not _ok(cb):
+        for c in list(range(cb + 1, 2 * cb + 2)) + list(range(cb - 1, 0, -1)):
+            if _ok(c):
+                cb = c
+                break
+        else:
+            raise ValueError(f"no valid z-block size for nz={nz}")
+    has_ray = rayleigh is not None
+
+    order = ("U", "V", "Rt", "Rho", "W")
+    field_in = [d[k] for k in order]
+    extras = [imult, rot]
+    ray_in = []
+    if has_ray:
+        fac, ref = rayleigh
+        ray_in = [fac[k] for k in order] + [ref[k] for k in order]
+
+    grid = (pl.cdiv(nz1, cb),)
+
+    def spec(K):
+        return pl.BlockSpec((cb, 6, A, B), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    whole = [pl.BlockSpec(e.shape, (lambda nd: lambda i: (0,) * nd)(e.ndim),
+                          memory_space=pltpu.VMEM) for e in extras]
+    in_specs = ([spec(a.shape[0]) for a in field_in] + whole
+                + [spec(a.shape[0]) for a in ray_in])
+    kern = lambda *refs: _state_kernel(p, tuple(links), has_ray, refs)
+    outs = pl.pallas_call(
+        kern, grid=grid, in_specs=in_specs,
+        out_specs=tuple(spec(a.shape[0]) for a in field_in),
+        out_shape=tuple(jax.ShapeDtypeStruct(a.shape, a.dtype)
+                        for a in field_in),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*field_in, *extras, *ray_in)
+    return dict(zip(order, outs))
+
+
 def dss_scalar(f, imult, links, p: int, cb: int = 4, interpret=None):
     """DSS of a scalar (K, 6, A, B) field; one kernel launch."""
     if interpret is None:

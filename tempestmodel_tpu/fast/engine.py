@@ -37,13 +37,28 @@ FIELDS = ("U", "V", "Rt", "Rho", "W")
 
 
 def pack_state(state):
-    """Reference layout (6,A,B,nz[+1]) -> z-first (nz[+1],6,A,B)."""
-    return {k: jnp.moveaxis(jnp.asarray(state[k]), -1, 0) for k in FIELDS}
+    """Reference layout (6,A,B,nz[+1]) -> z-first (nz[+1],6,A,B).
+
+    Tracers (ntr, 6, A, B, nz) become ONE flat species-major field
+    (ntr*nz, 6, A, B) so per-stage DSS/updates are single launches."""
+    out = {k: jnp.moveaxis(jnp.asarray(state[k]), -1, 0) for k in FIELDS}
+    if "Tracers" in state:
+        tr = jnp.asarray(state["Tracers"])
+        ntr, P, A, B, nz = tr.shape
+        out["Tracers"] = jnp.moveaxis(tr, -1, 1).reshape(ntr * nz, P, A, B)
+    return out
 
 
 def unpack_state(d, nz: int = None):
     """Z-first fast state -> reference-layout state dict."""
-    return {k: jnp.moveaxis(d[k], 0, -1) for k in FIELDS}
+    out = {k: jnp.moveaxis(d[k], 0, -1) for k in FIELDS}
+    if "Tracers" in d:
+        t = d["Tracers"]
+        nzz = d["Rt"].shape[0]
+        ntr = t.shape[0] // nzz
+        out["Tracers"] = jnp.moveaxis(
+            t.reshape((ntr, nzz) + t.shape[1:]), 1, -1)
+    return out
 
 
 def tree_map(f, *trees):
@@ -106,12 +121,112 @@ class FastGeometry:
     rayleigh_lev: Any
     rayleigh_int: Any
     e_rot: Any       # (4, 24, A): [r00, r01, r10, r11] covariant transform
+    area3d: Any = None   # (nz, 6, A, B) z-first (tracer positivity filters)
     # (B, B) operators along the second (b) axis — equal to DA/Sd on a
     # square block; they differ when the engine runs on a rectangular
     # per-device block of a sharded mesh (A, B are then LOCAL extents)
     B: int = 0
     DA_b: Any = None
     Sd_b: Any = None
+    # Separable Gal-Chen metric factorization (``grid/geometry.py``
+    # vert_metric): con_a_xi[k] = s_k * Ca, con_b_xi[k] = s_k * Cb,
+    # con_xi_xi[k] = E + s_k^2 * F, deriv_r_a[k] = s_k * dZs/da,
+    # jac3d[k] = jacl (z-constant), with s = 1 - reta.  Lets the hot
+    # kernels read O(A*B) 2-D terrain fields + an O(nz) profile instead
+    # of full (nz, 6, A, B) metric tensors (HBM is the bottleneck).
+    # ``sep_ok`` is set only after numerical verification at build.
+    sep_ok: bool = False
+    s_lev: Any = None     # (nz, 1)
+    s_int: Any = None     # (nz+1, 1)
+    # stacked column operators: one GEMM per field per stage reads the
+    # field ONCE for all of (d/dxi, interp n->i, penalty_l, penalty_r)
+    # instead of four separate dots re-reading it (HBM-bound savings)
+    colop_stack: Any = None       # (nz + nz+1 [+ 2nz], nz)
+    n2i_stack: Any = None         # (2*(nz+1), nz): [interp_n2i; diff_n2i]
+    sep_ca: Any = None    # (6, A, B) each
+    sep_cb: Any = None
+    sep_e: Any = None
+    sep_f: Any = None
+    sep_da: Any = None
+    sep_db: Any = None
+    sep_jacl: Any = None
+
+
+def _extract_separable_metric(geom):
+    """(s_lev, s_int, {2-D fields}) if the Gal-Chen factorization holds
+    numerically (relative residual < 1e-10 in fp64), else None."""
+    f64 = np.float64
+    jac = np.asarray(geom.jac3d, f64)          # (6, A, B, nz)
+    jac_i = np.asarray(geom.jac3d_int, f64)
+    if not (np.allclose(jac, jac[..., 0:1], rtol=1e-12, atol=0.0)
+            and np.allclose(jac_i, jac_i[..., 0:1], rtol=1e-12, atol=0.0)
+            and np.allclose(jac[..., 0], jac_i[..., 0], rtol=1e-12)):
+        return None
+    # s profiles from the deriv_r ratio at the point of max |dZs/da|;
+    # flat terrain -> all terrain metrics vanish identically
+    dr_a = np.asarray(geom.deriv_r, f64)[..., 0]       # (6, A, B, nz)
+    dr_a_i = np.asarray(geom.deriv_r_int, f64)[..., 0]
+    ca3 = np.asarray(geom.con_a_xi, f64)
+    cb3 = np.asarray(geom.con_b_xi, f64)
+    cx3 = np.asarray(geom.con_xi_xi, f64)
+    ca3_i = np.asarray(geom.con_a_xi_int, f64)
+    cb3_i = np.asarray(geom.con_b_xi_int, f64)
+    cx3_i = np.asarray(geom.con_xi_xi_int, f64)
+    dxr3 = np.asarray(geom.deriv_r_int, f64)[..., 2]   # (6, A, B, nz+1)
+    if not np.allclose(dxr3, dxr3[..., 0:1], rtol=1e-12, atol=0.0):
+        return None
+    dxr2 = dxr3[..., 0]                                # (6, A, B)
+
+    flat = np.argmax(np.abs(dr_a_i[..., 0]))
+    ij = np.unravel_index(flat, dr_a_i[..., 0].shape)
+    denom = dr_a_i[ij][0]
+    if abs(denom) < 1e-14:
+        # flat terrain: all terrain metrics vanish
+        s_lev = np.zeros(ca3.shape[-1])
+        s_int = np.zeros(ca3_i.shape[-1])
+        if (np.abs(ca3).max() > 0 or np.abs(cb3).max() > 0
+                or np.abs(dr_a).max() > 0):
+            return None
+        zero2 = np.zeros(dxr2.shape)
+        two_d = dict(sep_ca=zero2, sep_cb=zero2,
+                     sep_e=1.0 / (dxr2 * dxr2), sep_f=zero2,
+                     sep_da=zero2, sep_db=zero2, sep_jacl=jac[..., 0])
+        # con_xi_xi must then be exactly E on every level
+        if not (np.allclose(cx3, (1.0 / (dxr2 * dxr2))[..., None],
+                            rtol=1e-10)
+                and np.allclose(cx3_i, (1.0 / (dxr2 * dxr2))[..., None],
+                                rtol=1e-10)):
+            return None
+        return s_lev, s_int, two_d
+
+    s_int = dr_a_i[ij] / denom                         # (nz+1,), s[0]-normed
+    s_lev = dr_a[ij] / denom
+    k0 = 0                                             # reference interface
+    ca2 = ca3_i[..., k0] / s_int[k0]
+    cb2 = cb3_i[..., k0] / s_int[k0]
+    da2 = dr_a_i[..., k0] / s_int[k0]
+    db2 = np.asarray(geom.deriv_r_int, f64)[..., 1][..., k0] / s_int[k0]
+    e2 = 1.0 / (dxr2 * dxr2)
+    f2 = -(ca2 * da2 + cb2 * db2) / dxr2
+
+    def ok(full, recon):
+        scale = np.abs(full).max() + 1e-300
+        return np.abs(full - recon).max() <= 1e-10 * max(scale, 1e-30)
+
+    sl = s_lev.reshape((1, 1, 1, -1))
+    si = s_int.reshape((1, 1, 1, -1))
+    if not (ok(ca3, sl * ca2[..., None]) and ok(ca3_i, si * ca2[..., None])
+            and ok(cb3, sl * cb2[..., None])
+            and ok(cb3_i, si * cb2[..., None])
+            and ok(cx3, e2[..., None] + sl * sl * f2[..., None])
+            and ok(cx3_i, e2[..., None] + si * si * f2[..., None])
+            and ok(dr_a, sl * da2[..., None])
+            and ok(np.asarray(geom.deriv_r, f64)[..., 1],
+                   sl * db2[..., None])):
+        return None
+    two_d = dict(sep_ca=ca2, sep_cb=cb2, sep_e=e2, sep_f=f2,
+                 sep_da=da2, sep_db=db2, sep_jacl=jac[..., 0])
+    return s_lev, s_int, two_d
 
 
 def build_fast_geometry(geom: CubedSphereGeometry,
@@ -146,7 +261,29 @@ def build_fast_geometry(geom: CubedSphereGeometry,
     cor = np.asarray(geom.coriolis, f64)
     j2 = np.asarray(geom.jac2d, f64)
 
+    stack_parts = [np.asarray(geom.diff_n2n, f64),
+                   np.asarray(geom.interp_n2i, f64)]
+    if geom.penalty_left is not None:
+        stack_parts += [np.asarray(geom.penalty_left, f64),
+                        np.asarray(geom.penalty_right, f64)]
+    colop_stack = np.concatenate(stack_parts, axis=0)
+    n2i_stack = np.concatenate([np.asarray(geom.interp_n2i, f64),
+                                np.asarray(geom.diff_n2i, f64)], axis=0)
+
+    # --- separable-metric extraction (verified numerically) -----------
+    sep = _extract_separable_metric(geom)
+    sep_fields = {}
+    if sep is not None:
+        s_lev, s_int, two_d = sep
+        sep_fields = dict(
+            sep_ok=True,
+            s_lev=jnp.asarray(s_lev.reshape(-1, 1), dtype),
+            s_int=jnp.asarray(s_int.reshape(-1, 1), dtype),
+            **{k: c(v) for k, v in two_d.items()})
+
     return FastGeometry(
+        **sep_fields,
+        colop_stack=c(colop_stack), n2i_stack=c(n2i_stack),
         nz=nz, p=p, ne=ne, A=A, B=A, vo=geom.vo, is_xz=False, delta=delta,
         reference_length=float(geom.reference_length),
         dss_links=tuple(geom.edge_meta),
@@ -173,6 +310,7 @@ def build_fast_geometry(geom: CubedSphereGeometry,
         con_a_xi_int=zf(geom.con_a_xi_int),
         con_b_xi_int=zf(geom.con_b_xi_int),
         con_xi_xi_int=zf(geom.con_xi_xi_int),
+        area3d=zf(geom.area3d),
         deriv_r_a=zf(np.asarray(geom.deriv_r, f64)[..., 0]),
         deriv_r_b=zf(np.asarray(geom.deriv_r, f64)[..., 1]),
         deriv_r_xi_int=zf(np.asarray(geom.deriv_r_int, f64)[..., 2]),
@@ -221,14 +359,28 @@ def colop(M, f):
 # DSS (Pallas kernels; see fast/dss_pallas.py)
 # ---------------------------------------------------------------------------
 
-def apply_dss(d, fg: FastGeometry):
-    """DSS of the full fast state (U/V rotate as a covariant pair)."""
+def apply_dss(d, fg: FastGeometry, rayleigh=None):
+    """DSS of the full fast state (U/V rotate as a covariant pair).
+
+    Four launches (vector pair + 3 scalars), NOT the one-launch
+    ``dss_pallas.dss_state``: fusing all five fields into one kernel was
+    measured SLOWER in context on v5e (+0.08 ms/call, +0.55 ms/step at
+    ne30 L30 f32) — the separate launches pipeline better against the
+    surrounding XLA kernels.  ``dss_state`` is kept as the documented
+    negative result (same bitwise output, tested)."""
     u, v = dss_pallas.dss_vector(d["U"], d["V"], fg.inv_mult, fg.e_rot,
                                  fg.dss_links, fg.p)
     out = {"U": u, "V": v}
     for k in ("Rt", "Rho", "W"):
         out[k] = dss_pallas.dss_scalar(d[k], fg.inv_mult, fg.dss_links,
                                        fg.p)
+    if rayleigh is not None:
+        out = apply_rayleigh(out, *rayleigh)
+    if "Tracers" in d:
+        # all species in one scalar-kernel launch (flat layout); tracers
+        # are never Rayleigh-damped (reference ApplyRayleighFriction)
+        out["Tracers"] = dss_pallas.dss_scalar(
+            d["Tracers"], fg.inv_mult, fg.dss_links, fg.p)
     return out
 
 
@@ -360,22 +512,38 @@ def apply_rayleigh(d, fac, ref_term):
 
 
 def step_after_subcycle(d, dt, cfg: ModelConfig, fg: FastGeometry,
-                        rayleigh=None, dss_fn=None):
-    """nu4/nu2 hyperviscosity + DSS (+ optional Rayleigh) Strang tail."""
+                        rayleigh=None, dss_fn=None,
+                        use_fused_hyper: bool = False):
+    """nu4/nu2 hyperviscosity + DSS (+ optional Rayleigh) Strang tail.
+
+    ``dss_fn(d, rayleigh=None)``: full-state DSS with an optionally FUSED
+    Rayleigh finish (single-device path fuses it into the DSS kernel).
+    ``use_fused_hyper``: run each nu4 Laplacian pass as one Pallas kernel
+    (``fast/hyper_pallas``; caller must check ``hyper_pallas.supported``)."""
     if dss_fn is None:
-        dss_fn = lambda ds: apply_dss(ds, fg)
+        dss_fn = lambda ds, rayleigh=None: apply_dss(ds, fg, rayleigh)
+    has_tr = "Tracers" in d
 
     def finish(ds):
-        ds = dss_fn(ds)
-        if rayleigh is not None:
-            ds = apply_rayleigh(ds, *rayleigh)
-        return ds
+        # reference order: tracer positivity filter -> DSS -> Rayleigh
+        # (hyperdiff.step_after_subcycle_nh finish)
+        if has_tr:
+            from . import tracers as ftr
+            ds = dict(ds, Tracers=ftr.filter_horizontal(
+                ds["Tracers"], fg))
+        return dss_fn(ds, rayleigh=rayleigh)
 
     if not cfg.hyperdiffusion or (
             cfg.nu_scalar == 0 and cfg.nu_div == 0 and cfg.nu_vort == 0):
+        out = d
+        if has_tr:
+            from . import tracers as ftr
+            out = dict(out, Tracers=ftr.filter_horizontal(
+                out["Tracers"], fg))
         if rayleigh is not None:
-            return apply_rayleigh(d, *rayleigh)
-        return d
+            out = dict(out, **apply_rayleigh(
+                {k: out[k] for k in FIELDS}, *rayleigh))
+        return out
 
     scale = (fg.delta / fg.reference_length) ** 3.2 \
         if cfg.hypervis_order == 4 else 1.0
@@ -395,9 +563,26 @@ def step_after_subcycle(d, dt, cfg: ModelConfig, fg: FastGeometry,
             "W": d["W"] + dt * nu_s * scalar_laplacian(
                 d["W"], fg.jac3d_int, fg),
         }
+        if has_tr:
+            from . import tracers as ftr
+            out["Tracers"] = d["Tracers"] + dt * nu_s * \
+                ftr.scalar_laplacian_tr(d["Tracers"], fg)
         return finish(out)
 
     # order 4: Lap pass -> DSS -> -dt * nu_local * Lap pass -> DSS
+    if use_fused_hyper:
+        from . import hyper_pallas
+        work = hyper_pallas.nu4_pass1(d, fg)
+        if has_tr:
+            from . import tracers as ftr
+            work["Tracers"] = ftr.scalar_laplacian_tr(d["Tracers"], fg)
+        work = dss_fn(work)
+        out = hyper_pallas.nu4_pass2(d, work, nu_s, nu_d, nu_v, dt, fg)
+        if has_tr:
+            out["Tracers"] = d["Tracers"] - dt * nu_s * \
+                ftr.scalar_laplacian_tr(work["Tracers"], fg)
+        return finish(out)
+
     wu, wv = vector_hyperdiff_update(d["U"], d["V"], 1.0, 1.0, fg)
     work = {
         "U": -wu, "V": -wv,
@@ -405,6 +590,9 @@ def step_after_subcycle(d, dt, cfg: ModelConfig, fg: FastGeometry,
         "Rho": scalar_laplacian(d["Rho"], fg.jac3d, fg),
         "W": scalar_laplacian(d["W"], fg.jac3d_int, fg),
     }
+    if has_tr:
+        from . import tracers as ftr
+        work["Tracers"] = ftr.scalar_laplacian_tr(d["Tracers"], fg)
     work = dss_fn(work)
 
     du, dv = vector_hyperdiff_update(work["U"], work["V"], nu_d, nu_v, fg)
@@ -417,6 +605,9 @@ def step_after_subcycle(d, dt, cfg: ModelConfig, fg: FastGeometry,
         "W": d["W"] - dt * nu_s * scalar_laplacian(
             work["W"], fg.jac3d_int, fg),
     }
+    if has_tr:
+        out["Tracers"] = d["Tracers"] - dt * nu_s * \
+            ftr.scalar_laplacian_tr(work["Tracers"], fg)
     return finish(out)
 
 
@@ -435,7 +626,8 @@ def fast_engine_supported(cfg: ModelConfig, has_tracers: bool = False,
           and cfg.vertical_solver in ("banded", "pallas")
           and cfg.nu_uniform_scalar == 0.0
           and cfg.nu_uniform_vector == 0.0
-          and not has_tracers)
+          and cfg.upwind_thermo
+          and not (has_tracers and mesh is not None))
     if ok and mesh is not None:
         A = cfg.ne * cfg.order
         try:
@@ -471,7 +663,8 @@ def _rayleigh_terms(cfg: ModelConfig, geom, ref_state):
 
 
 def _strang_fns(cfg: ModelConfig, fg: FastGeometry, rayleigh, dss_fn,
-                implicit_fn, use_fused_stage: bool):
+                implicit_fn, use_fused_stage: bool,
+                use_fused_hyper: bool = False):
     """The Strang-HEVI step on z-first state, parameterized over the DSS
     and implicit-solve implementations so the single-device and
     shard_map-distributed engines share one driver.
@@ -494,15 +687,21 @@ def _strang_fns(cfg: ModelConfig, fg: FastGeometry, rayleigh, dss_fn,
     def stage(base, ueval, dt_s):
         """base: state dict or 2-term ((c1, d1), (c2, d2)) combination
         (folded into the fused stage kernel when available)."""
+        has_tr = "Tracers" in ueval
         if use_fused_stage:
             from .stage_pallas import fused_stage
             upd = fused_stage(base, ueval, dt_s, fg, constants)
         else:
-            if isinstance(base, tuple):
-                base = comb(*base)
+            bb = comb(*base) if isinstance(base, tuple) else base
             tend = horizontal_tendency(ueval, fg, constants)
-            upd = axpy(base, tend, dt_s)
+            upd = axpy({k: bb[k] for k in FIELDS}, tend, dt_s)
             upd = apply_w_boundary(upd, fg)
+        if has_tr:
+            from . import tracers as ftr
+            base_tr = (tuple((c, b["Tracers"]) for c, b in base)
+                       if isinstance(base, tuple) else base["Tracers"])
+            upd["Tracers"] = ftr.horizontal_update(
+                base_tr, ueval, dt_s, fg)
         return dss_fn(upd)
 
     def erk(X0):
@@ -545,18 +744,31 @@ def _strang_fns(cfg: ModelConfig, fg: FastGeometry, rayleigh, dss_fn,
     def tail(X):
         u4 = erk(X)
         u1 = step_after_subcycle(u4, dt, cfg, fg, rayleigh=rayleigh,
-                                 dss_fn=dss_fn)
+                                 dss_fn=dss_fn,
+                                 use_fused_hyper=use_fused_hyper)
         u0 = implicit_fn(u1, 0.5 * (1.0 + oc) * dt)
         if oc != 0.0:
             u0 = comb((0.5 * (2.0 - oc), u0), (0.5 * oc, u1))
-        carry = tree_map(lambda a, b: a - b, u0, u1)
+        # the LOR implicit solve only updates (Rt, W, Rho) [+ Tracers];
+        # U and V pass through unchanged, so the Strang carryover is
+        # identically zero there — carry only the updated fields (the
+        # reference carries 5 instance buffers; two are provably no-ops)
+        ck = ("Rt", "W", "Rho") + (("Tracers",) if "Tracers" in u0
+                                   else ())
+        carry = {k: u0[k] - u1[k] for k in ck}
         return u0, carry
 
     def first_fn(d):
         return tail(implicit_fn(d, 0.5 * dt))
 
     def step_fn(d, carry):
-        return tail(tree_map(lambda a, b: a + b, d, carry))
+        X0 = dict(d)
+        for k in carry:
+            X0[k] = d[k] + carry[k]
+        if "Tracers" in X0:
+            from . import tracers as ftr
+            X0["Tracers"] = ftr.filter_column(X0["Tracers"], fg)
+        return tail(X0)
 
     return first_fn, step_fn
 
@@ -589,16 +801,28 @@ def make_fast_step(cfg: ModelConfig, geom: CubedSphereGeometry,
     rayleigh = _rayleigh_terms(cfg, geom, ref_state)
     use_fused_stage = (fg.vo == 1 and fg.A % 8 == 0 and fg.p <= 8
                        and 8 % fg.p == 0)
+    from . import hyper_pallas
+    use_fused_hyper = hyper_pallas.supported(fg, cfg)
+    saux = fimp.static_aux(fg)
 
     def implicit_fn(d, dti):
-        return fimp.vertical_implicit(
+        out = fimp.vertical_implicit(
             d, fg, constants, dti, q, statics,
             newton_iters=cfg.newton_iterations, use_pallas=use_pallas,
-            ref_jacobian=(cfg.jacobian_mode == "reference"))
+            ref_jacobian=(cfg.jacobian_mode == "reference"), saux=saux)
+        if "Tracers" in d:
+            from . import tracers as ftr
+            if not hasattr(implicit_fn, "_tr_statics"):
+                implicit_fn._tr_statics = ftr._tracer_band_statics(fg)
+            tr = ftr.update_column_tracers(
+                d, out["W"], fg, dti, statics=implicit_fn._tr_statics)
+            out = dict(out, Tracers=ftr.filter_column(tr, fg))
+        return out
 
     first_fn, step_fn = _strang_fns(
-        cfg, fg, rayleigh, lambda d: apply_dss(d, fg), implicit_fn,
-        use_fused_stage)
+        cfg, fg, rayleigh,
+        lambda d, rayleigh=None: apply_dss(d, fg, rayleigh),
+        implicit_fn, use_fused_stage, use_fused_hyper)
     return jax.jit(first_fn), jax.jit(step_fn)
 
 
@@ -634,6 +858,9 @@ def _make_fast_step_mesh(cfg: ModelConfig, geom: CubedSphereGeometry,
     # geometry fields that must arrive per-shard (everything with a
     # horizontal extent); small operators stay closure constants
     BIG3 = ("c2_aa", "c2_ab", "c2_ba", "c2_bb", "jac2d", "fj", "inv_mult")
+    if fg_full.sep_ok:
+        BIG3 = BIG3 + ("sep_ca", "sep_cb", "sep_e", "sep_f",
+                       "sep_da", "sep_db", "sep_jacl")
     BIG4 = ("jac3d", "jac3d_int", "con_a_xi", "con_b_xi", "con_xi_xi",
             "con_a_xi_int", "con_b_xi_int", "con_xi_xi_int",
             "deriv_r_a", "deriv_r_b", "deriv_r_xi_int")
@@ -660,10 +887,17 @@ def _make_fast_step_mesh(cfg: ModelConfig, geom: CubedSphereGeometry,
 
     dss_state_fn = mesh_dss.make_state_dss_mesh(
         fg_full.dss_links, np.asarray(fg_full.e_rot), mx, my, A, p,
-        fg_full.nz)
+        fg_full.nz, overlap=cfg.halo_overlap)
 
     use_fused_stage = (template.vo == 1 and a % 8 == 0 and p <= 8
                        and 8 % p == 0)
+    from . import hyper_pallas
+    jac_np = np.asarray(fg_full.jac3d)
+    jaci_np = np.asarray(fg_full.jac3d_int)
+    use_fused_hyper = (cfg.hypervis_order == 4 and a % 8 == 0
+                       and p <= 8 and 8 % p == 0
+                       and bool(np.all(jac_np == jac_np[0:1]))
+                       and bool(np.all(jaci_np == jaci_np[0:1])))
     sspec = {k: P(None, None, "x", "y") for k in FIELDS}
 
     def build_fns(fg_loc, ray_loc):
@@ -674,9 +908,15 @@ def _make_fast_step_mesh(cfg: ModelConfig, geom: CubedSphereGeometry,
                 ref_jacobian=(cfg.jacobian_mode == "reference"))
 
         rr = None if not ray_loc else (ray_loc["fac"], ray_loc["ref"])
-        return _strang_fns(
-            cfg, fg_loc, rr, lambda d: dss_state_fn(d, fg_loc.inv_mult),
-            implicit_fn, use_fused_stage)
+
+        def dss_fn(d, rayleigh=None):
+            out = dss_state_fn(d, fg_loc.inv_mult)
+            if rayleigh is not None:
+                out = apply_rayleigh(out, *rayleigh)
+            return out
+
+        return _strang_fns(cfg, fg_loc, rr, dss_fn, implicit_fn,
+                           use_fused_stage, use_fused_hyper)
 
     def body_first(d, gb, ray_loc):
         fg_loc = dataclasses.replace(template, **gb)
@@ -688,12 +928,13 @@ def _make_fast_step_mesh(cfg: ModelConfig, geom: CubedSphereGeometry,
 
     # check_vma=False: the Pallas stage/implicit kernels cannot declare
     # varying-mesh-axes metadata on their out_shapes
+    cspec = {k: P(None, None, "x", "y") for k in ("Rt", "W", "Rho")}
     smap_first = jax.shard_map(body_first, mesh=mesh,
                                in_specs=(sspec, gspec, rayspec),
-                               out_specs=(sspec, sspec), check_vma=False)
+                               out_specs=(sspec, cspec), check_vma=False)
     smap_step = jax.shard_map(body_step, mesh=mesh,
-                              in_specs=(sspec, sspec, gspec, rayspec),
-                              out_specs=(sspec, sspec), check_vma=False)
+                              in_specs=(sspec, cspec, gspec, rayspec),
+                              out_specs=(sspec, cspec), check_vma=False)
 
     @jax.jit
     def first_step(d):

@@ -22,7 +22,29 @@ from ..models.nonhydro import exner_from_rhotheta
 from .engine import FastGeometry
 
 
-def _prep_aux(d, fg: FastGeometry):
+def static_aux(fg: FastGeometry):
+    """The state-independent flattened-metric entries of the implicit
+    aux dict.  Precompute ONCE per configuration (engine factories call
+    this at build time) — evaluating it inside the jitted step costs ~8
+    tiled-layout-changing reshapes of (nz, 6, A, B) tensors per call."""
+    def fl(f):
+        return f.reshape(f.shape[0], -1)
+
+    c2 = jnp.stack([fg.c2_aa.reshape(-1), fg.c2_ab.reshape(-1),
+                    fg.c2_ba.reshape(-1), fg.c2_bb.reshape(-1)])
+    return {
+        "c2": c2,
+        "con_a_xi": fl(fg.con_a_xi), "con_b_xi": fl(fg.con_b_xi),
+        "con_xi_xi": fl(fg.con_xi_xi),
+        "con_a_xi_int": fl(fg.con_a_xi_int),
+        "con_b_xi_int": fl(fg.con_b_xi_int),
+        "con_xi_xi_int": fl(fg.con_xi_xi_int),
+        "jac": fl(fg.jac3d), "jac_int": fl(fg.jac3d_int),
+        "deriv_r_int": fl(fg.deriv_r_xi_int),
+    }
+
+
+def _prep_aux(d, fg: FastGeometry, saux=None):
     """Fixed per-column inputs of the implicit system, (rows, ncol)."""
     U = d["U"]
     Q = U.shape[1] * U.shape[2] * U.shape[3]
@@ -32,24 +54,18 @@ def _prep_aux(d, fg: FastGeometry):
 
     u_n = fl(U)
     v_n = fl(d["V"])
-    u_i = fg.interp_n2i @ u_n
-    v_i = fg.interp_n2i @ v_n
-    du_i = fg.diff_n2i @ u_n
-    dv_i = fg.diff_n2i @ v_n
+    ni = fg.interp_n2i.shape[0]
+    big_u = fg.n2i_stack @ u_n        # one GEMM: [interp_n2i; diff_n2i]
+    big_v = fg.n2i_stack @ v_n
+    u_i = big_u[:ni]
+    v_i = big_v[:ni]
+    du_i = big_u[ni:]
+    dv_i = big_v[ni:]
 
-    c2 = jnp.stack([fg.c2_aa.reshape(-1), fg.c2_ab.reshape(-1),
-                    fg.c2_ba.reshape(-1), fg.c2_bb.reshape(-1)])
-    aux = {
-        "u_n": u_n, "v_n": v_n, "u_i": u_i, "v_i": v_i,
-        "du_i": du_i, "dv_i": dv_i, "c2": c2,
-        "con_a_xi": fl(fg.con_a_xi), "con_b_xi": fl(fg.con_b_xi),
-        "con_xi_xi": fl(fg.con_xi_xi),
-        "con_a_xi_int": fl(fg.con_a_xi_int),
-        "con_b_xi_int": fl(fg.con_b_xi_int),
-        "con_xi_xi_int": fl(fg.con_xi_xi_int),
-        "jac": fl(fg.jac3d), "jac_int": fl(fg.jac3d_int),
-        "deriv_r_int": fl(fg.deriv_r_xi_int),
-    }
+    if saux is None:
+        saux = static_aux(fg)
+    aux = dict(saux, u_n=u_n, v_n=v_n, u_i=u_i, v_i=v_i,
+               du_i=du_i, dv_i=dv_i)
     x_parts = (fl(d["Rt"]), fl(d["W"]), fl(d["Rho"]))
     return x_parts, aux
 
@@ -316,14 +332,17 @@ def _pick_col_tile(ncol: int) -> int:
 
 def vertical_implicit(d, fg: FastGeometry, constants, dt, q, statics,
                       newton_iters: int = 1, use_pallas: bool = True,
-                      ref_jacobian: bool = False):
-    """Batched Newton-banded implicit update of (Rt, W, Rho)."""
+                      ref_jacobian: bool = False, saux=None):
+    """Batched Newton-banded implicit update of (Rt, W, Rho).
+
+    ``saux``: precomputed ``static_aux(fg)`` (hoists the constant metric
+    flattening out of the jitted step)."""
     from ..ops.pallas_banded import banded_solve_pallas
     from ..models.vertical_banded import banded_solve_t
 
     nz = fg.nz
     shp = d["U"].shape[1:]
-    x0_parts, aux = _prep_aux(d, fg)
+    x0_parts, aux = _prep_aux(d, fg, saux)
     ncol = x0_parts[0].shape[1]
 
     fused = (use_pallas and fg.vo == 1 and statics["has_penalty"]

@@ -180,13 +180,36 @@ def _add_edge(s, pa: int, e: int, line):
     return s.at[:, pa, :, -1].add(line)
 
 
+def _pair_sum_line(ln, p: int):
+    """1-D element pair sums along axis 2 of a (K, 6, L) line tensor.
+    Identical slice expressions to ``local_pair_sum`` so line-level and
+    block-level results agree BITWISE."""
+    L = ln.shape[2]
+    if L > p:
+        hi = ln[:, :, p - 1:-1:p]
+        lo = ln[:, :, p::p]
+        s = hi + lo
+        ln = ln.at[:, :, p - 1:-1:p].set(s).at[:, :, p::p].set(s)
+    return ln
+
+
 def make_state_dss_mesh(edge_meta, e_rot, mx: int, my: int, A: int,
-                        p: int, nz: int):
+                        p: int, nz: int, overlap: bool = False):
     """Build ``dss_state(s_dict, inv_mult_local) -> s_dict`` for use
     inside a shard_map over mesh axes ("x", "y").
 
     ``e_rot``: host numpy (4, n_links, A) destination-edge covariant
     rotation rows [m00, m01, m10, m11] (``fast/engine.build_fast_geometry``).
+
+    ``overlap``: emit the halo-overlap schedule — every collective's
+    operands are computed from O(surface) line-only arithmetic issued
+    BEFORE the O(volume) interior pair-sum compute, so XLA's async
+    collectives (collective-permute-start/done) and the latency-hiding
+    scheduler can run the exchange concurrently with interior compute —
+    the TPU analog of the reference's Isend-early / Wait-late overlap
+    (``/root/reference/src/atm/Grid.cpp:627-665``,
+    ``Connectivity.cpp:928``).  Results are BITWISE equal to the inline
+    schedule (``tests/test_fast_mesh.py::test_overlap_schedule_bit_equal``).
     """
     e_rot = np.asarray(e_rot)
     local_msgs, rounds = build_edge_routing(edge_meta, mx, my, A)
@@ -261,13 +284,9 @@ def make_state_dss_mesh(edge_meta, e_rot, mx: int, my: int, A: int,
                            .at[..., 0].set(nf[k0:k1])
         return s
 
-    def dss_state(d, inv_mult):
-        dtype = d["U"].dtype
-        s = {f: local_pair_sum(d[f], p) for f in FIELDS}
-        s = _cross_pairs(s)
-        lines = _pack_lines(s)
-
-        # collect (Msg, segment) contributions: remote rounds + local
+    def _edge_contribs(lines, dtype):
+        """Routed exchange of the panel-edge lines: ppermute rounds +
+        locally-satisfied segments.  Returns [(Msg, (ktot, L) seg)]."""
         contribs = []
         for rnd in rounds:
             pl_len = {key: sum(m.src_hi - m.src_lo for m in ms)
@@ -295,10 +314,12 @@ def make_state_dss_mesh(edge_meta, e_rot, mx: int, my: int, A: int,
         for m in local_msgs:
             qa, qe = edge_meta[m.link][2], edge_meta[m.link][3]
             contribs.append((m, lines[(qa, qe)][:, m.src_lo:m.src_hi]))
+        return contribs
 
-        # accumulate per destination edge (one link per (pa, e)), masked
-        # to the destination device, in edge_meta link order
-        contribs.sort(key=lambda t: (t[0].link, t[0].g0))
+    def _apply_edges(s, contribs, dtype):
+        """Accumulate contributions per destination edge (one link per
+        (pa, e)), masked to the destination device, in edge_meta order."""
+        contribs = sorted(contribs, key=lambda t: (t[0].link, t[0].g0))
         edge_add = {}
         for m, seg in contribs:
             pa, e = edge_meta[m.link][0], edge_meta[m.link][1]
@@ -309,14 +330,82 @@ def make_state_dss_mesh(edge_meta, e_rot, mx: int, my: int, A: int,
                 _, cl = _edge_chunks(e, mx, my, A)
                 acc = jnp.zeros((ktot, cl), dtype)
             edge_add[(pa, e)] = acc.at[:, m.dst_lo:m.dst_hi].add(val)
-
         for (pa, e), acc in edge_add.items():
             for f in FIELDS:
                 k0 = offs[f]
                 k1 = k0 + sizes[f]
                 s[f] = _add_edge(s[f], pa, e, acc[k0:k1])
+        return s
 
+    def dss_state_inline(d, inv_mult):
+        dtype = d["U"].dtype
+        s = {f: local_pair_sum(d[f], p) for f in FIELDS}
+        s = _cross_pairs(s)
+        lines = _pack_lines(s)
+        contribs = _edge_contribs(lines, dtype)
+        s = _apply_edges(s, contribs, dtype)
         w3 = inv_mult[None]
         return {f: s[f] * w3 for f in FIELDS}
 
-    return dss_state
+    def dss_state_overlap(d, inv_mult):
+        """Same arithmetic as the inline schedule, reordered so every
+        collective depends only on O(surface) line compute: the
+        boundary-line pair sums and cross-shard/edge exchanges are all
+        issued before the interior block pair-sum, which XLA may then
+        execute while the permutes are in flight."""
+        dtype = d["U"].dtype
+
+        def pack(sel):
+            return jnp.concatenate([sel(d[f]) for f in FIELDS], axis=0)
+
+        # column boundary lines (a = 0 / a = -1), pair-summed along b
+        ncf = _pair_sum_line(pack(lambda f: f[:, :, 0, :]), p)
+        ncl = _pair_sum_line(pack(lambda f: f[:, :, -1, :]), p)
+        if mx > 1:
+            recv_r = lax.ppermute(ncf, "x",
+                                  [(i, i - 1) for i in range(1, mx)])
+            recv_l = lax.ppermute(ncl, "x",
+                                  [(i, i + 1) for i in range(mx - 1)])
+            ncf, ncl = recv_l + ncf, ncl + recv_r
+        # row boundary lines, pair-summed along a, corners patched with
+        # the cross-x results (the inline schedule's cross-y operands
+        # carry the cross-x contributions at shard corners)
+        nrf = _pair_sum_line(pack(lambda f: f[..., 0]), p)
+        nrl = _pair_sum_line(pack(lambda f: f[..., -1]), p)
+        nrf = nrf.at[:, :, 0].set(ncf[:, :, 0]) \
+                 .at[:, :, -1].set(ncl[:, :, 0])
+        nrl = nrl.at[:, :, 0].set(ncf[:, :, -1]) \
+                 .at[:, :, -1].set(ncl[:, :, -1])
+        if my > 1:
+            recv_r = lax.ppermute(nrf, "y",
+                                  [(i, i - 1) for i in range(1, my)])
+            recv_l = lax.ppermute(nrl, "y",
+                                  [(i, i + 1) for i in range(my - 1)])
+            nrf, nrl = recv_l + nrf, nrl + recv_r
+        # panel-edge lines assembled from line-level results only (the
+        # row lines carry final corner values; columns get them patched)
+        lines = {}
+        for pa in range(6):
+            lines[(pa, EDGE_LEFT)] = ncf[:, pa] \
+                .at[:, 0].set(nrf[:, pa, 0]).at[:, -1].set(nrl[:, pa, 0])
+            lines[(pa, EDGE_RIGHT)] = ncl[:, pa] \
+                .at[:, 0].set(nrf[:, pa, -1]) \
+                .at[:, -1].set(nrl[:, pa, -1])
+            lines[(pa, EDGE_BOTTOM)] = nrf[:, pa]
+            lines[(pa, EDGE_TOP)] = nrl[:, pa]
+        contribs = _edge_contribs(lines, dtype)
+
+        # interior block compute — independent of every collective above
+        s = {f: local_pair_sum(d[f], p) for f in FIELDS}
+        for f in FIELDS:
+            k0 = offs[f]
+            k1 = k0 + sizes[f]
+            s[f] = s[f].at[:, :, 0, :].set(ncf[k0:k1]) \
+                       .at[:, :, -1, :].set(ncl[k0:k1]) \
+                       .at[..., 0].set(nrf[k0:k1]) \
+                       .at[..., -1].set(nrl[k0:k1])
+        s = _apply_edges(s, contribs, dtype)
+        w3 = inv_mult[None]
+        return {f: s[f] * w3 for f in FIELDS}
+
+    return dss_state_overlap if overlap else dss_state_inline

@@ -404,5 +404,7 @@ def fused_implicit_update(x_parts, x0_parts, aux_flat, mats, ps:
         out_shape=(jax.ShapeDtypeStruct((nz, ncol), dtype),
                    jax.ShapeDtypeStruct((nz + 1, ncol), dtype),
                    jax.ShapeDtypeStruct((nz, ncol), dtype)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )(*col_inputs, *small, *stat)

@@ -59,13 +59,21 @@ def _da(x, M, delta, p):
     return jnp.concatenate(pieces, axis=1)
 
 
-def _kernel(nz, p, delta, D, S, g, two_base,
-            u_ref, v_ref, rt_ref, rho_ref, wn_ref, duxi_ref, dvxi_ref,
-            bu_ref, bv_ref, brt_ref, brho_ref,
-            b2u_ref, b2v_ref, b2rt_ref, b2rho_ref, pu_ref, pv_ref,
-            caxi_ref, cbxi_ref, cxixi_ref, jac_ref, dra_ref, drb_ref,
-            m2d_ref, SdT_ref, DAT_ref, dts_ref,
-            ou_ref, ov_ref, ort_ref, orho_ref, oucz_ref):
+def _kernel(nz, p, delta, D, S, g, two_base, use_sep, refs):
+    if use_sep:
+        (u_ref, v_ref, rt_ref, rho_ref, wn_ref, duxi_ref, dvxi_ref,
+         bu_ref, bv_ref, brt_ref, brho_ref,
+         b2u_ref, b2v_ref, b2rt_ref, b2rho_ref, pu_ref, pv_ref,
+         m2d_ref, s_ref, SdT_ref, DAT_ref, dts_ref,
+         ou_ref, ov_ref, ort_ref, orho_ref, oucz_ref) = refs
+    else:
+        (u_ref, v_ref, rt_ref, rho_ref, wn_ref, duxi_ref, dvxi_ref,
+         bu_ref, bv_ref, brt_ref, brho_ref,
+         b2u_ref, b2v_ref, b2rt_ref, b2rho_ref, pu_ref, pv_ref,
+         caxi_ref, cbxi_ref, cxixi_ref, jac_ref, dra_ref, drb_ref,
+         m2d_ref, SdT_ref, DAT_ref, dts_ref,
+         ou_ref, ov_ref, ort_ref, orho_ref, oucz_ref) = refs
+
     def rd(ref):
         x = ref[...]
         return x.reshape(x.shape[0], x.shape[2], x.shape[3])
@@ -87,13 +95,24 @@ def _kernel(nz, p, delta, D, S, g, two_base,
     w_n = rd(wn_ref)
     du_dxi = rd(duxi_ref)
     dv_dxi = rd(dvxi_ref)
-    caxi = rd(caxi_ref)
-    cbxi = rd(cbxi_ref)
-    cxixi = rd(cxixi_ref)
-    jac = rd(jac_ref)
-    dra = rd(dra_ref)
-    drb = rd(drb_ref)
-    m2d = rd(m2d_ref)            # (5, ac, B): c2aa, c2ab, c2ba, c2bb, fj
+    if use_sep:
+        # (12, ac, B): c2aa..c2bb, fj, Ca, Cb, E, F, dZs/da, dZs/db, jacl
+        m2d = rd(m2d_ref)
+        s = s_ref[...].reshape(nz, 1, 1)     # (nz, 1) profile -> bcast
+        caxi = s * m2d[5:6]
+        cbxi = s * m2d[6:7]
+        cxixi = m2d[7:8] + (s * s) * m2d[8:9]
+        dra = s * m2d[9:10]
+        drb = s * m2d[10:11]
+        jac = m2d[11:12]
+    else:
+        caxi = rd(caxi_ref)
+        cbxi = rd(cbxi_ref)
+        cxixi = rd(cxixi_ref)
+        jac = rd(jac_ref)
+        dra = rd(dra_ref)
+        drb = rd(drb_ref)
+        m2d = rd(m2d_ref)        # (5, ac, B): c2aa, c2ab, c2ba, c2bb, fj
     c2aa = m2d[0:1]
     c2ab = m2d[1:2]
     c2ba = m2d[2:3]
@@ -183,15 +202,27 @@ def fused_stage(base, ueval, dt_s, fg, constants, ac: int = 8,
     delta = fg.delta
 
     u, v, w = ueval["U"], ueval["V"], ueval["W"]
+    use_sep = bool(fg.sep_ok)
 
     # --- XLA pre-pass: vertical column operators ----------------------
+    # NOTE: separate dots per operator, NOT one stacked
+    # [diff; interp; penalties] GEMM per field — stacking was measured
+    # SLOWER (+0.8 ms/step): the row-slices of the stacked result feed
+    # Pallas operands, which forces each slice to materialize as a copy
     w_n = colop(fg.interp_i2n, w)
     du_dxi = colop(fg.diff_n2n, u)
     dv_dxi = colop(fg.diff_n2n, v)
     u_i = colop(fg.interp_n2i, u)
     v_i = colop(fg.interp_n2i, v)
-    xid = (fg.con_a_xi_int * u_i + fg.con_b_xi_int * v_i
-           + fg.con_xi_xi_int * w)
+    if use_sep:
+        # separable metric: 2-D terrain fields x 1-D profile instead of
+        # full (nz+1, 6, A, B) tensors (engine.FastGeometry sep_* docs)
+        si = fg.s_int[:, :, None, None]
+        xid = (si * (fg.sep_ca[None] * u_i + fg.sep_cb[None] * v_i)
+               + (fg.sep_e[None] + si * si * fg.sep_f[None]) * w)
+    else:
+        xid = (fg.con_a_xi_int * u_i + fg.con_b_xi_int * v_i
+               + fg.con_xi_xi_int * w)
     xid = xid.at[0].set(0.0).at[-1].set(0.0)
     if fg.penalty_left is not None and nz // fg.vo > 1:
         wb = jnp.abs(xid[fg.vo:nz:fg.vo])
@@ -205,7 +236,12 @@ def fused_stage(base, ueval, dt_s, fg, constants, ac: int = 8,
         pen_u = jnp.zeros_like(u)
         pen_v = jnp.zeros_like(v)
 
-    m2d = jnp.stack([fg.c2_aa, fg.c2_ab, fg.c2_ba, fg.c2_bb, fg.fj])
+    if use_sep:
+        m2d = jnp.stack([fg.c2_aa, fg.c2_ab, fg.c2_ba, fg.c2_bb, fg.fj,
+                         fg.sep_ca, fg.sep_cb, fg.sep_e, fg.sep_f,
+                         fg.sep_da, fg.sep_db, fg.sep_jacl])
+    else:
+        m2d = jnp.stack([fg.c2_aa, fg.c2_ab, fg.c2_ba, fg.c2_bb, fg.fj])
 
     def spec(K):
         return pl.BlockSpec((K, 1, ac, B), lambda ip, ia: (0, ip, ia, 0),
@@ -223,10 +259,14 @@ def fused_stage(base, ueval, dt_s, fg, constants, ac: int = 8,
     field_in = [u, v, ueval["Rt"], ueval["Rho"], w_n, du_dxi, dv_dxi,
                 base1["U"], base1["V"], base1["Rt"], base1["Rho"],
                 base2["U"], base2["V"], base2["Rt"], base2["Rho"],
-                pen_u, pen_v,
-                fg.con_a_xi, fg.con_b_xi, fg.con_xi_xi,
-                fg.jac3d, fg.deriv_r_a, fg.deriv_r_b, m2d]
-    small_in = [SdT, DAT]
+                pen_u, pen_v]
+    if use_sep:
+        field_in += [m2d]
+        small_in = [fg.s_lev, SdT, DAT]
+    else:
+        field_in += [fg.con_a_xi, fg.con_b_xi, fg.con_xi_xi,
+                     fg.jac3d, fg.deriv_r_a, fg.deriv_r_b, m2d]
+        small_in = [SdT, DAT]
 
     in_specs = ([spec(a.shape[0]) for a in field_in]
                 + [whole(a) for a in small_in]
@@ -235,7 +275,8 @@ def fused_stage(base, ueval, dt_s, fg, constants, ac: int = 8,
 
     g = (float(constants.Cp), float(constants.Rd), float(constants.P0),
          float(constants.g))
-    kern = functools.partial(_kernel, nz, p, delta, D, S, g, two_base)
+    kern = lambda *refs: _kernel(nz, p, delta, D, S, g, two_base,
+                                 use_sep, refs)
 
     shp_n = u.shape
     out_u, out_v, out_rt, out_rho, ucz_x = pl.pallas_call(

@@ -141,8 +141,17 @@ def main():
     # unless TM_SCALING_TPU is set (real multi-chip hardware).
     import os
     if not os.environ.get("TM_SCALING_TPU"):
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8").strip()
         import jax
         jax.config.update("jax_platforms", "cpu")
+        if len(jax.devices()) < 8:
+            raise RuntimeError(
+                "virtual 8-device mesh unavailable (the XLA backend was "
+                "initialized before XLA_FLAGS took effect); run with "
+                "XLA_FLAGS=--xla_force_host_platform_device_count=8")
     rep = scaling_report()
     print(json.dumps(rep, indent=1))
 

@@ -190,3 +190,59 @@ def test_fast_engine_supported_mesh_predicate():
     # element divisibility: my=8 -> A/my = 2 < p
     mesh_bad = Mesh(np.array(jax.devices()[:8]).reshape(1, 8), ("x", "y"))
     assert not engine.fast_engine_supported(cfg, mesh=mesh_bad)
+
+
+@pytest.mark.parametrize("mx,my", [(2, 4), (1, 4), (2, 2)])
+def test_overlap_schedule_bit_equal(mx, my):
+    """The overlap-scheduled DSS (collectives issued from line-only
+    compute before interior work — the reference's Isend-early /
+    Wait-late, ``Grid.cpp:627-665``) is BITWISE equal to the inline
+    schedule."""
+    cfg, geom, _ = _sphere_setup()
+    fg = engine.build_fast_geometry(geom, dtype=jnp.float64)
+    nz, A = fg.nz, fg.A
+    rng = np.random.default_rng(3)
+    d = {k: jnp.asarray(rng.standard_normal(
+        (nz + (1 if k == "W" else 0), 6, A, A)))
+        for k in engine.FIELDS}
+    mesh = _mesh(mx, my)
+    sspec = {k: P(None, None, "x", "y") for k in engine.FIELDS}
+    outs = []
+    for overlap in (False, True):
+        dssfn = mesh_dss.make_state_dss_mesh(
+            fg.dss_links, np.asarray(fg.e_rot), mx, my, A, fg.p, nz,
+            overlap=overlap)
+        f = jax.jit(jax.shard_map(
+            lambda s, w: dssfn(s, w), mesh=mesh,
+            in_specs=(sspec, P(None, "x", "y")), out_specs=sspec))
+        sh = {k: jax.device_put(v, NamedSharding(
+            mesh, P(None, None, "x", "y"))) for k, v in d.items()}
+        w = jax.device_put(fg.inv_mult,
+                           NamedSharding(mesh, P(None, "x", "y")))
+        with mesh:
+            outs.append(f(sh, w))
+    for k in engine.FIELDS:
+        a = np.asarray(outs[0][k])
+        b = np.asarray(outs[1][k])
+        assert np.array_equal(a, b), \
+            f"{k}: overlap schedule differs (max {np.max(np.abs(a - b))})"
+
+
+@pytest.mark.slow
+def test_overlap_engine_step_equal():
+    """Full mesh step with halo_overlap=True equals the inline-schedule
+    step to roundoff (same trajectory through the whole Strang step)."""
+    cfg, geom, state = _sphere_setup(ne=4, nz=6)
+    mesh = _mesh(2, 4)
+    spec = NamedSharding(mesh, P(None, None, "x", "y"))
+    res = []
+    for overlap in (False, True):
+        c2 = cfg.with_(halo_overlap=overlap)
+        fsm, stm = fast.make_fast_step(c2, geom, mesh=mesh)
+        Xm = {k: jax.device_put(v, spec)
+              for k, v in fast.pack_state(state).items()}
+        with mesh:
+            Xm, cm = fsm(Xm)
+            Xm, cm = stm(Xm, cm)
+        res.append(Xm)
+    assert _max_rel(res[1], res[0]) == 0.0
