@@ -718,7 +718,7 @@ def column_residual_multi_jvp(x0, aux, g, constants, dt, nz, tangents):
     return out + tangents / dt
 
 
-def band_assembly_statics(geom, q: int):
+def band_assembly_statics(geom, q: int, upwind_thermo: bool = True):
     """Host-side static tensors for the analytic banded-Jacobian assembly.
 
     Every Jacobian block of the HEVI column system has the form
@@ -787,7 +787,7 @@ def band_assembly_statics(geom, q: int):
     # (w,rt): diag(r) Dn2i diag(dpi_drt), diag(r) In2i [delta -1]
     st["Dn2i_b"] = {o: sband(Dn2i, o) for o in offs(-1)}
     st["In2i_b"] = {o: sband(In2i, o) for o in ow}
-    if geom.penalty_left is not None and nfe > 1:
+    if geom.penalty_left is not None and nfe > 1 and upwind_thermo:
         Pl = np.asarray(geom.penalty_left)
         Pr = np.asarray(geom.penalty_right)
         Wl = np.asarray(geom.wscat_left)    # (nz, nfe-1)
@@ -989,7 +989,8 @@ def assemble_bands_analytic(x0, aux, g, statics, constants, dt, nz,
 
 def vertical_implicit(state, geom, constants, dt, newton_iters: int = 1,
                       solver: str = "dense", q: int = 4,
-                      band_statics=None, ref_jacobian: bool = False):
+                      band_statics=None, ref_jacobian: bool = False,
+                      upwind_thermo: bool = True):
     """Batched HEVI implicit column update of (Rt, W, Rho).
 
     One Newton step with the AD-exact Jacobian; ``solver`` selects the
@@ -1005,6 +1006,12 @@ def vertical_implicit(state, geom, constants, dt, newton_iters: int = 1,
     nz = geom.nz
     stagger = infer_stagger(state, nz)
     x0, aux, gmats, (P, A, B) = _implicit_aux(state, geom)
+    if not upwind_thermo:
+        # disable the implicit Rt/Rho upwind penalty (the reference's
+        # UPWIND_THERMO / UPWIND_RHO_AND_TRACERS compile flags,
+        # VerticalDynamicsFEM.cpp:38-40); the explicit U/V upwinding and
+        # the W interface upwinding are separate flags and stay on
+        gmats = dict(gmats, penalty_left=None, penalty_right=None)
 
     if stagger != "LOR":
         # the banded interleave permutation and analytic band assembly

@@ -66,7 +66,8 @@ def make_strang_step(cfg: ModelConfig, geom, dss_state: Callable,
     lorenz = cfg.vertical_staggering == VerticalStaggering.LORENZ
     if cfg.vertical_solver in ("banded", "pallas") and lorenz:
         q = nonhydro.estimate_bandwidth(geom, constants)
-        band_statics = nonhydro.band_assembly_statics(geom, q)
+        band_statics = nonhydro.band_assembly_statics(
+            geom, q, upwind_thermo=cfg.upwind_thermo)
     else:
         # non-Lorenz staggerings solve dense (vertical_implicit falls
         # back internally; the banded layout is Lorenz-specific)
@@ -78,7 +79,8 @@ def make_strang_step(cfg: ModelConfig, geom, dss_state: Callable,
             return nonhydro.vertical_implicit(
                 st, gm, constants, dti, newton_iters=cfg.newton_iterations,
                 solver=cfg.vertical_solver, q=q, band_statics=band_statics,
-                ref_jacobian=(cfg.jacobian_mode == "reference"))
+                ref_jacobian=(cfg.jacobian_mode == "reference"),
+                upwind_thermo=cfg.upwind_thermo)
         if mesh is not None:
             from ..parallel.dss_shardmap import wrap_columnwise
             out = wrap_columnwise(core, mesh, geom)(s)
