@@ -138,11 +138,11 @@ class FastGeometry:
     sep_ok: bool = False
     s_lev: Any = None     # (nz, 1)
     s_int: Any = None     # (nz+1, 1)
-    # stacked column operators: one GEMM per field per stage reads the
-    # field ONCE for all of (d/dxi, interp n->i, penalty_l, penalty_r)
-    # instead of four separate dots re-reading it (HBM-bound savings)
-    colop_stack: Any = None       # (nz + nz+1 [+ 2nz], nz)
-    n2i_stack: Any = None         # (2*(nz+1), nz): [interp_n2i; diff_n2i]
+    # stacked [interp_n2i; diff_n2i]: the implicit prep reads U/V once
+    # for both operators (a per-stage version for the stage pre-pass was
+    # measured SLOWER — its row-slices feed Pallas operands and
+    # materialize as copies; see docs/PERF.md round-4 negative results)
+    n2i_stack: Any = None         # (2*(nz+1), nz)
     sep_ca: Any = None    # (6, A, B) each
     sep_cb: Any = None
     sep_e: Any = None
@@ -261,12 +261,6 @@ def build_fast_geometry(geom: CubedSphereGeometry,
     cor = np.asarray(geom.coriolis, f64)
     j2 = np.asarray(geom.jac2d, f64)
 
-    stack_parts = [np.asarray(geom.diff_n2n, f64),
-                   np.asarray(geom.interp_n2i, f64)]
-    if geom.penalty_left is not None:
-        stack_parts += [np.asarray(geom.penalty_left, f64),
-                        np.asarray(geom.penalty_right, f64)]
-    colop_stack = np.concatenate(stack_parts, axis=0)
     n2i_stack = np.concatenate([np.asarray(geom.interp_n2i, f64),
                                 np.asarray(geom.diff_n2i, f64)], axis=0)
 
@@ -283,7 +277,7 @@ def build_fast_geometry(geom: CubedSphereGeometry,
 
     return FastGeometry(
         **sep_fields,
-        colop_stack=c(colop_stack), n2i_stack=c(n2i_stack),
+        n2i_stack=c(n2i_stack),
         nz=nz, p=p, ne=ne, A=A, B=A, vo=geom.vo, is_xz=False, delta=delta,
         reference_length=float(geom.reference_length),
         dss_links=tuple(geom.edge_meta),
@@ -626,8 +620,7 @@ def fast_engine_supported(cfg: ModelConfig, has_tracers: bool = False,
           and cfg.vertical_solver in ("banded", "pallas")
           and cfg.nu_uniform_scalar == 0.0
           and cfg.nu_uniform_vector == 0.0
-          and cfg.upwind_thermo
-          and not (has_tracers and mesh is not None))
+          and cfg.upwind_thermo)
     if ok and mesh is not None:
         A = cfg.ne * cfg.order
         try:
@@ -774,7 +767,7 @@ def _strang_fns(cfg: ModelConfig, fg: FastGeometry, rayleigh, dss_fn,
 
 
 def make_fast_step(cfg: ModelConfig, geom: CubedSphereGeometry,
-                   ref_state=None, mesh=None):
+                   ref_state=None, mesh=None, ntracers: int = 0):
     """(first_step, step) on the fast state: step(d, carry) -> (d, carry).
 
     Drop-in semantics of ``timestep/strang.make_strang_step`` for the
@@ -788,7 +781,8 @@ def make_fast_step(cfg: ModelConfig, geom: CubedSphereGeometry,
     ``Connectivity.cpp:928``).
     """
     if mesh is not None:
-        return _make_fast_step_mesh(cfg, geom, ref_state, mesh)
+        return _make_fast_step_mesh(cfg, geom, ref_state, mesh,
+                                    ntracers=ntracers)
 
     from . import implicit as fimp
 
@@ -827,7 +821,7 @@ def make_fast_step(cfg: ModelConfig, geom: CubedSphereGeometry,
 
 
 def _make_fast_step_mesh(cfg: ModelConfig, geom: CubedSphereGeometry,
-                         ref_state, mesh):
+                         ref_state, mesh, ntracers: int = 0):
     """The z-first engine distributed over a device mesh: the entire
     Strang step runs inside ONE shard_map; per-shard compute is the same
     code as the single-device engine on a rectangular (a, b) block, and
@@ -863,7 +857,7 @@ def _make_fast_step_mesh(cfg: ModelConfig, geom: CubedSphereGeometry,
                        "sep_da", "sep_db", "sep_jacl")
     BIG4 = ("jac3d", "jac3d_int", "con_a_xi", "con_b_xi", "con_xi_xi",
             "con_a_xi_int", "con_b_xi_int", "con_xi_xi_int",
-            "deriv_r_a", "deriv_r_b", "deriv_r_xi_int")
+            "deriv_r_a", "deriv_r_b", "deriv_r_xi_int", "area3d")
     gbig = {k: getattr(fg_full, k) for k in BIG3 + BIG4}
     gspec = {k: (P(None, "x", "y") if k in BIG3
                  else P(None, None, "x", "y")) for k in gbig}
@@ -891,6 +885,10 @@ def _make_fast_step_mesh(cfg: ModelConfig, geom: CubedSphereGeometry,
 
     use_fused_stage = (template.vo == 1 and a % 8 == 0 and p <= 8
                        and 8 % p == 0)
+    tr_statics = None
+    if ntracers > 0:
+        from . import tracers as ftr
+        tr_statics = ftr._tracer_band_statics(fg_full)
     from . import hyper_pallas
     jac_np = np.asarray(fg_full.jac3d)
     jaci_np = np.asarray(fg_full.jac3d_int)
@@ -899,13 +897,21 @@ def _make_fast_step_mesh(cfg: ModelConfig, geom: CubedSphereGeometry,
                        and bool(np.all(jac_np == jac_np[0:1]))
                        and bool(np.all(jaci_np == jaci_np[0:1])))
     sspec = {k: P(None, None, "x", "y") for k in FIELDS}
+    if ntracers > 0:
+        sspec = dict(sspec, Tracers=P(None, None, "x", "y"))
 
     def build_fns(fg_loc, ray_loc):
         def implicit_fn(d, dti):
-            return fimp.vertical_implicit(
+            out = fimp.vertical_implicit(
                 d, fg_loc, constants, dti, q, statics,
                 newton_iters=cfg.newton_iterations, use_pallas=use_pallas,
                 ref_jacobian=(cfg.jacobian_mode == "reference"))
+            if "Tracers" in d:
+                from . import tracers as ftr
+                tr = ftr.update_column_tracers(
+                    d, out["W"], fg_loc, dti, statics=tr_statics)
+                out = dict(out, Tracers=ftr.filter_column(tr, fg_loc))
+            return out
 
         rr = None if not ray_loc else (ray_loc["fac"], ray_loc["ref"])
 
@@ -928,7 +934,8 @@ def _make_fast_step_mesh(cfg: ModelConfig, geom: CubedSphereGeometry,
 
     # check_vma=False: the Pallas stage/implicit kernels cannot declare
     # varying-mesh-axes metadata on their out_shapes
-    cspec = {k: P(None, None, "x", "y") for k in ("Rt", "W", "Rho")}
+    ckeys = ("Rt", "W", "Rho") + (("Tracers",) if ntracers > 0 else ())
+    cspec = {k: P(None, None, "x", "y") for k in ckeys}
     smap_first = jax.shard_map(body_first, mesh=mesh,
                                in_specs=(sspec, gspec, rayspec),
                                out_specs=(sspec, cspec), check_vma=False)

@@ -213,14 +213,19 @@ def make_state_dss_mesh(edge_meta, e_rot, mx: int, my: int, A: int,
     """
     e_rot = np.asarray(e_rot)
     local_msgs, rounds = build_edge_routing(edge_meta, mx, my, A)
-    # payload row layout: U | V | Rt | Rho | W
-    sizes = {"U": nz, "V": nz, "Rt": nz, "Rho": nz, "W": nz + 1}
-    offs = {}
-    o = 0
-    for f in FIELDS:
-        offs[f] = o
-        o += sizes[f]
-    ktot = o
+
+    def _layout(d):
+        """Payload row layout, computed at trace time from the state:
+        U | V | Rt | Rho | W [| Tracers] — extra scalar fields (the flat
+        species-major tracer block) ride after W and need no rotation."""
+        flds = list(FIELDS) + [k for k in d if k not in FIELDS]
+        sizes = {f: d[f].shape[0] for f in flds}
+        offs = {}
+        o = 0
+        for f in flds:
+            offs[f] = o
+            o += sizes[f]
+        return flds, sizes, offs, o
 
     def _lin(dev):
         return dev[0] * my + dev[1]
@@ -229,12 +234,12 @@ def make_state_dss_mesh(edge_meta, e_rot, mx: int, my: int, A: int,
         return ((lax.axis_index("x") == dev[0])
                 & (lax.axis_index("y") == dev[1]))
 
-    def _pack_lines(s):
+    def _pack_lines(s, flds):
         lines = {}
         for pa in range(6):
             for e in range(4):
                 lines[(pa, e)] = jnp.concatenate(
-                    [_extract_edge(s[f], pa, e) for f in FIELDS], axis=0)
+                    [_extract_edge(s[f], pa, e) for f in flds], axis=0)
         return lines
 
     def _rotate_and_slot(m: Msg, seg, dtype):
@@ -242,49 +247,49 @@ def make_state_dss_mesh(edge_meta, e_rot, mx: int, my: int, A: int,
         edge transforms, return (ktot, L) contribution in dest order."""
         if m.flip:
             seg = seg[:, ::-1]
-        su = seg[offs["U"]:offs["U"] + nz]
-        sv = seg[offs["V"]:offs["V"] + nz]
+        su = seg[0:nz]
+        sv = seg[nz:2 * nz]
         m00 = jnp.asarray(e_rot[0, m.link, m.g0:m.g1], dtype)
         m01 = jnp.asarray(e_rot[1, m.link, m.g0:m.g1], dtype)
         m10 = jnp.asarray(e_rot[2, m.link, m.g0:m.g1], dtype)
         m11 = jnp.asarray(e_rot[3, m.link, m.g0:m.g1], dtype)
         ru = m00[None] * su + m01[None] * sv
         rv = m10[None] * su + m11[None] * sv
-        return jnp.concatenate([ru, rv, seg[offs["Rt"]:]], axis=0)
+        return jnp.concatenate([ru, rv, seg[2 * nz:]], axis=0)
 
-    def _cross_pairs(s):
+    def _cross_pairs(s, flds, sizes, offs):
         """Cross-shard element pair sums (width-1 line ppermutes)."""
         if mx > 1:
-            first = jnp.concatenate([s[f][:, :, 0, :] for f in FIELDS], 0)
-            last = jnp.concatenate([s[f][:, :, -1, :] for f in FIELDS], 0)
+            first = jnp.concatenate([s[f][:, :, 0, :] for f in flds], 0)
+            last = jnp.concatenate([s[f][:, :, -1, :] for f in flds], 0)
             recv_r = lax.ppermute(first, "x",
                                   [(i, i - 1) for i in range(1, mx)])
             recv_l = lax.ppermute(last, "x",
                                   [(i, i + 1) for i in range(mx - 1)])
             nl = last + recv_r
             nf = recv_l + first
-            for f in FIELDS:
+            for f in flds:
                 k0 = offs[f]
                 k1 = k0 + sizes[f]
                 s[f] = s[f].at[:, :, -1, :].set(nl[k0:k1]) \
                            .at[:, :, 0, :].set(nf[k0:k1])
         if my > 1:
-            first = jnp.concatenate([s[f][..., 0] for f in FIELDS], 0)
-            last = jnp.concatenate([s[f][..., -1] for f in FIELDS], 0)
+            first = jnp.concatenate([s[f][..., 0] for f in flds], 0)
+            last = jnp.concatenate([s[f][..., -1] for f in flds], 0)
             recv_r = lax.ppermute(first, "y",
                                   [(i, i - 1) for i in range(1, my)])
             recv_l = lax.ppermute(last, "y",
                                   [(i, i + 1) for i in range(my - 1)])
             nl = last + recv_r
             nf = recv_l + first
-            for f in FIELDS:
+            for f in flds:
                 k0 = offs[f]
                 k1 = k0 + sizes[f]
                 s[f] = s[f].at[..., -1].set(nl[k0:k1]) \
                            .at[..., 0].set(nf[k0:k1])
         return s
 
-    def _edge_contribs(lines, dtype):
+    def _edge_contribs(lines, ktot, dtype):
         """Routed exchange of the panel-edge lines: ppermute rounds +
         locally-satisfied segments.  Returns [(Msg, (ktot, L) seg)]."""
         contribs = []
@@ -316,7 +321,7 @@ def make_state_dss_mesh(edge_meta, e_rot, mx: int, my: int, A: int,
             contribs.append((m, lines[(qa, qe)][:, m.src_lo:m.src_hi]))
         return contribs
 
-    def _apply_edges(s, contribs, dtype):
+    def _apply_edges(s, contribs, flds, sizes, offs, ktot, dtype):
         """Accumulate contributions per destination edge (one link per
         (pa, e)), masked to the destination device, in edge_meta order."""
         contribs = sorted(contribs, key=lambda t: (t[0].link, t[0].g0))
@@ -331,7 +336,7 @@ def make_state_dss_mesh(edge_meta, e_rot, mx: int, my: int, A: int,
                 acc = jnp.zeros((ktot, cl), dtype)
             edge_add[(pa, e)] = acc.at[:, m.dst_lo:m.dst_hi].add(val)
         for (pa, e), acc in edge_add.items():
-            for f in FIELDS:
+            for f in flds:
                 k0 = offs[f]
                 k1 = k0 + sizes[f]
                 s[f] = _add_edge(s[f], pa, e, acc[k0:k1])
@@ -339,13 +344,14 @@ def make_state_dss_mesh(edge_meta, e_rot, mx: int, my: int, A: int,
 
     def dss_state_inline(d, inv_mult):
         dtype = d["U"].dtype
-        s = {f: local_pair_sum(d[f], p) for f in FIELDS}
-        s = _cross_pairs(s)
-        lines = _pack_lines(s)
-        contribs = _edge_contribs(lines, dtype)
-        s = _apply_edges(s, contribs, dtype)
+        flds, sizes, offs, ktot = _layout(d)
+        s = {f: local_pair_sum(d[f], p) for f in flds}
+        s = _cross_pairs(s, flds, sizes, offs)
+        lines = _pack_lines(s, flds)
+        contribs = _edge_contribs(lines, ktot, dtype)
+        s = _apply_edges(s, contribs, flds, sizes, offs, ktot, dtype)
         w3 = inv_mult[None]
-        return {f: s[f] * w3 for f in FIELDS}
+        return {f: s[f] * w3 for f in flds}
 
     def dss_state_overlap(d, inv_mult):
         """Same arithmetic as the inline schedule, reordered so every
@@ -354,9 +360,10 @@ def make_state_dss_mesh(edge_meta, e_rot, mx: int, my: int, A: int,
         issued before the interior block pair-sum, which XLA may then
         execute while the permutes are in flight."""
         dtype = d["U"].dtype
+        flds, sizes, offs, ktot = _layout(d)
 
         def pack(sel):
-            return jnp.concatenate([sel(d[f]) for f in FIELDS], axis=0)
+            return jnp.concatenate([sel(d[f]) for f in flds], axis=0)
 
         # column boundary lines (a = 0 / a = -1), pair-summed along b
         ncf = _pair_sum_line(pack(lambda f: f[:, :, 0, :]), p)
@@ -393,19 +400,19 @@ def make_state_dss_mesh(edge_meta, e_rot, mx: int, my: int, A: int,
                 .at[:, -1].set(nrl[:, pa, -1])
             lines[(pa, EDGE_BOTTOM)] = nrf[:, pa]
             lines[(pa, EDGE_TOP)] = nrl[:, pa]
-        contribs = _edge_contribs(lines, dtype)
+        contribs = _edge_contribs(lines, ktot, dtype)
 
         # interior block compute — independent of every collective above
-        s = {f: local_pair_sum(d[f], p) for f in FIELDS}
-        for f in FIELDS:
+        s = {f: local_pair_sum(d[f], p) for f in flds}
+        for f in flds:
             k0 = offs[f]
             k1 = k0 + sizes[f]
             s[f] = s[f].at[:, :, 0, :].set(ncf[k0:k1]) \
                        .at[:, :, -1, :].set(ncl[k0:k1]) \
                        .at[..., 0].set(nrf[k0:k1]) \
                        .at[..., -1].set(nrl[k0:k1])
-        s = _apply_edges(s, contribs, dtype)
+        s = _apply_edges(s, contribs, flds, sizes, offs, ktot, dtype)
         w3 = inv_mult[None]
-        return {f: s[f] * w3 for f in FIELDS}
+        return {f: s[f] * w3 for f in flds}
 
     return dss_state_overlap if overlap else dss_state_inline

@@ -57,7 +57,13 @@ class Model:
     def __init__(self, cfg: ModelConfig, testcase=None, topography=None,
                  rayleigh=None, output_managers: Sequence = (),
                  workflow_processes: Sequence[WorkflowProcess] = (),
-                 verbose: bool = False):
+                 verbose: bool = False, mesh=None):
+        """``mesh``: optional ``jax.sharding.Mesh`` with axes ("x", "y")
+        — the driver builds the distributed step (the fast engine's
+        shard_map path when supported, else the reference-layout
+        shard_map path) and shards the state over the horizontal axes,
+        the analog of the reference's MPI patch decomposition
+        (``Grid::DistributePatches``, ``Grid.h:503``)."""
         # test-case physical-constants override (the reference's
         # TestCase::EvaluatePhysicalConstants hook, TestCase.h:103-110,
         # e.g. ShallowWaterEddyTest sets omega = 0)
@@ -67,6 +73,7 @@ class Model:
                 cfg, constants=testcase.physical_constants(cfg.constants))
         from .config import VerticalStaggering
         self.cfg = cfg
+        self.mesh = mesh
         self.testcase = testcase
         self.output_managers = list(output_managers)
         self.workflow_processes = list(workflow_processes)
@@ -137,27 +144,41 @@ class Model:
                                   TimestepSchemeType.ERK,
                                   TimestepSchemeType.SPEX):
                 from .fast.engine import fast_engine_supported
+                has_tr = (self.state is not None
+                          and "Tracers" in self.state)
                 use_fast = (cfg.fuse_pallas
-                            and fast_engine_supported(
-                                cfg, has_tracers=(
-                                    self.state is not None
-                                    and "Tracers" in self.state)))
+                            and fast_engine_supported(cfg,
+                                                      has_tracers=has_tr,
+                                                      mesh=mesh))
                 if use_fast:
                     # z-first Pallas engine (fast/): same step semantics,
-                    # ~4x the reference-layout engine on TPU (docs/PERF.md)
+                    # ~4x the reference-layout engine on TPU (docs/PERF.md);
+                    # with a mesh, the same engine under shard_map
                     from . import fast
+                    ntr = (self.state["Tracers"].shape[0]
+                           if has_tr else 0)
                     self._first_step, self._step = fast.make_fast_step(
-                        cfg, self.geom, ref_state=self.reference)
+                        cfg, self.geom, ref_state=self.reference,
+                        mesh=mesh, ntracers=ntr)
                     self._fast = True
                     self._fast_carry = None
                     self._state_mirror = None
                 else:
                     self._first_step, self._step = nh_model.make_nh_step(
-                        cfg, self.geom, ref_state=self.reference)
+                        cfg, self.geom, ref_state=self.reference,
+                        mesh=mesh)
                 self._imex_step = None
             else:
                 self._imex_step = nh_model.make_nh_imex_step(
-                    cfg, self.geom, ref_state=self.reference)
+                    cfg, self.geom, ref_state=self.reference, mesh=mesh)
+
+        if mesh is not None and self.state is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sh = NamedSharding(mesh, P(None, "x", "y"))
+            sh_tr = NamedSharding(mesh, P(None, None, "x", "y"))
+            self.state = {
+                k: jax.device_put(v, sh_tr if k == "Tracers" else sh)
+                for k, v in self.state.items()}
 
     # ------------------------------------------------------------------
     def set_state(self, state, carry=None, time=0.0, step=0):
