@@ -78,7 +78,10 @@ def test_fast_engine_supported_predicate():
     assert fast.engine.fast_engine_supported(cfg)
     assert not fast.engine.fast_engine_supported(
         cfg.with_(grid_kind=GridKind.CARTESIAN_XZ))
-    assert not fast.engine.fast_engine_supported(cfg, has_tracers=True)
+    # tracers are covered since round 4 (single-device AND mesh)
+    assert fast.engine.fast_engine_supported(cfg, has_tracers=True)
+    assert not fast.engine.fast_engine_supported(
+        cfg.with_(upwind_thermo=False))
 
 
 def test_model_driver_uses_fast_engine():

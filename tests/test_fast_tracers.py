@@ -52,10 +52,10 @@ def test_pack_unpack_tracers_roundtrip():
 def test_fast_engine_supported_with_tracers():
     cfg, _, _ = _setup()
     assert fast.engine.fast_engine_supported(cfg, has_tracers=True)
-    # tracers on a mesh are not yet supported
+    # tracers are supported on a mesh too (fast/mesh_dss dynamic layout)
     class FakeMesh:
         shape = {"x": 2, "y": 4}
-    assert not fast.engine.fast_engine_supported(
+    assert fast.engine.fast_engine_supported(
         cfg, has_tracers=True, mesh=FakeMesh())
 
 
