@@ -890,12 +890,12 @@ def _make_fast_step_mesh(cfg: ModelConfig, geom: CubedSphereGeometry,
         from . import tracers as ftr
         tr_statics = ftr._tracer_band_statics(fg_full)
     from . import hyper_pallas
-    jac_np = np.asarray(fg_full.jac3d)
-    jaci_np = np.asarray(fg_full.jac3d_int)
-    use_fused_hyper = (cfg.hypervis_order == 4 and a % 8 == 0
-                       and p <= 8 and 8 % p == 0
-                       and bool(np.all(jac_np == jac_np[0:1]))
-                       and bool(np.all(jaci_np == jaci_np[0:1])))
+    # evaluate the fused-hyper predicate on the LOCAL-extent template
+    # (A=a) with the full-grid Jacobians restored — one predicate for
+    # both engines instead of a duplicated inline check
+    use_fused_hyper = hyper_pallas.supported(
+        dataclasses.replace(template, jac3d=fg_full.jac3d,
+                            jac3d_int=fg_full.jac3d_int), cfg)
     sspec = {k: P(None, None, "x", "y") for k in FIELDS}
     if ntracers > 0:
         sspec = dict(sspec, Tracers=P(None, None, "x", "y"))
@@ -918,7 +918,11 @@ def _make_fast_step_mesh(cfg: ModelConfig, geom: CubedSphereGeometry,
         def dss_fn(d, rayleigh=None):
             out = dss_state_fn(d, fg_loc.inv_mult)
             if rayleigh is not None:
-                out = apply_rayleigh(out, *rayleigh)
+                # restrict the fused Rayleigh finish to the dynamics
+                # fields: tracers DSS through the same payload but are
+                # never Rayleigh-damped (reference ApplyRayleighFriction)
+                out = dict(out, **apply_rayleigh(
+                    {k: out[k] for k in FIELDS}, *rayleigh))
             return out
 
         return _strang_fns(cfg, fg_loc, rr, dss_fn, implicit_fn,
@@ -955,10 +959,12 @@ def _make_fast_step_mesh(cfg: ModelConfig, geom: CubedSphereGeometry,
 
 
 def make_fast_multistep(cfg: ModelConfig, geom: CubedSphereGeometry,
-                        inner_steps: int, ref_state=None, mesh=None):
+                        inner_steps: int, ref_state=None, mesh=None,
+                        ntracers: int = 0):
     """K fast steps fused under one jit with lax.scan (removes per-step
     dispatch latency; the dict-of-arrays carry keeps scan copies small)."""
-    first_step, step = make_fast_step(cfg, geom, ref_state, mesh=mesh)
+    first_step, step = make_fast_step(cfg, geom, ref_state, mesh=mesh,
+                                      ntracers=ntracers)
 
     @jax.jit
     def multi(d, carry):

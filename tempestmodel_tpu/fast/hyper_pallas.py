@@ -37,11 +37,15 @@ FIELDS = ("U", "V", "Rt", "Rho", "W")
 
 def supported(fg, cfg) -> bool:
     jac = np.asarray(fg.jac3d)
+    jac_i = np.asarray(fg.jac3d_int)
+    # the kernels use jac3d[0] for W's Laplacian where the XLA path uses
+    # jac3d_int, so require the level/interface Jacobians to AGREE, not
+    # just be z-constant each
     return (cfg.hypervis_order == 4 and fg.vo >= 1
             and fg.A % 8 == 0 and fg.p <= 8 and 8 % fg.p == 0
             and bool(np.all(jac == jac[0:1]))
-            and bool(np.all(np.asarray(fg.jac3d_int)
-                            == np.asarray(fg.jac3d_int)[0:1])))
+            and bool(np.all(jac_i == jac_i[0:1]))
+            and np.allclose(jac[0], jac_i[0], rtol=1e-12, atol=0.0))
 
 
 def _rd(ref):

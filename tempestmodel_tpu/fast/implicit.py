@@ -349,9 +349,12 @@ def vertical_implicit(d, fg: FastGeometry, constants, dt, q, statics,
              and _pick_col_tile(ncol) >= 128)
     if fused:
         from . import pallas_implicit as pim
+        # fold=8: sublane-packed kernel (full (8, lane) VPU tiles per
+        # banded-LU row op instead of 1/8-utilized row vectors — the
+        # round-4 diagnosed fix, docs/PERF.md)
         ps = pim.pack_statics(statics, dtype=np.float32
                               if x0_parts[0].dtype == jnp.float32
-                              else np.float64)
+                              else np.float64, fold=8)
         mats = {
             "interp_n2i": fg.interp_n2i, "interp_i2n": fg.interp_i2n,
             "diff_n2i": fg.diff_n2i, "diff_i2n": fg.diff_i2n,

@@ -17,6 +17,19 @@ of steps 2-3 materializes the (n, 2q+1, ncol) band tensor (~280 MB at
 ne30 L30 f32) through several layout-changing copies (~5.5 ms measured);
 here bands live only as VMEM values.
 
+Sublane packing (``fold``): the banded-LU row recurrence operates on
+per-row values.  In the natural layout those are (1, ct) row vectors
+that use 1 of 8 VPU sublanes per vreg — the round-4 profile measured
+1.73 ms standalone for ~0.2 ms of useful vector work.  With ``fold=8``
+every (K, ncol) operand is fed pre-reshaped to (K*8, ncol/8) — row
+``k*8+s`` holds the s-th eighth of level k's columns — so each LU row
+value is a FULL (8, ct/8) tile, and the vertical operator matrices
+become ``kron(M, I_8)`` (precomputed host-side; the MXU cost is
+unchanged because the original (31, 30) operands were padding-dominated
+anyway).  The in-kernel lane-split reshape is unsupported by Mosaic, so
+the fold happens OUTSIDE the kernel as a plain row-major reshape.
+``fold=1`` reproduces the original kernel bit-for-bit.
+
 Restrictions: Lorenz staggering, vertical order 1 (vo == 1), q as
 derived by ``estimate_bandwidth``.  The interleaved row ordering
 [Rt_k, W_k, Rho_k]*, W_nz is implicit in the static row schedule.
@@ -40,35 +53,40 @@ class PackedStatics:
     """Band-assembly statics packed into stackable arrays (host-side)."""
     q: int
     nz: int
+    fold: int
     offs0: tuple
     offs_p1: tuple
     offs_m1: tuple
     ow: tuple
     has_penalty: bool
-    TA: Any          # (n0, nz, nz+1)
-    TB: Any          # (n0, nz+1, nz)
-    DDb: Any         # (n0, nz+1, 1)
-    Di2n_b: Any      # (nw, nz, 1)
-    Dn2i_b: Any      # (nm1, nz+1, 1)
-    In2i_b: Any      # (nw, nz+1, 1)
-    Pl_b: Any        # (n0, nz, 1)
-    Pr_b: Any        # (n0, nz, 1)
-    Ul: Any          # (nw, nz, nfe-1)
-    Ur: Any          # (nw, nz, nfe-1)
+    TA: Any          # (n0, f*nz, f*(nz+1))
+    TB: Any          # (n0, f*(nz+1), f*nz)
+    DDb: Any         # (n0, f*(nz+1), 1)
+    Di2n_b: Any      # (nw, f*nz, 1)
+    Dn2i_b: Any      # (nm1, f*(nz+1), 1)
+    In2i_b: Any      # (nw, f*(nz+1), 1)
+    Pl_b: Any        # (n0, f*nz, 1)
+    Pr_b: Any        # (n0, f*nz, 1)
+    Ul: Any          # (nw, f*nz, f*(nfe-1))
+    Ur: Any          # (nw, f*nz, f*(nfe-1))
 
 
-def pack_statics(statics, dtype=np.float32) -> PackedStatics:
+def pack_statics(statics, dtype=np.float32, fold: int = 1) -> PackedStatics:
     offs0 = tuple(statics["offs0"])
     offs_p1 = tuple(statics["offs_p1"])
     offs_m1 = tuple(statics["offs_m1"])
     ow = tuple(sorted(set(offs_p1) | set(offs_m1)))
     nz = statics["nz"]
+    I_f = np.eye(fold, dtype=dtype)
 
     def stk(dic, offs, vec=False):
         arrs = [np.asarray(dic[o], dtype) for o in offs]
         out = np.stack(arrs)
         if vec:
-            out = out[..., None]
+            # broadcast-over-rows vector: repeat each level entry f times
+            out = np.repeat(out, fold, axis=-1)[..., None]
+        elif fold > 1:
+            out = np.stack([np.kron(a, I_f) for a in out])
         return out
 
     kw = {}
@@ -77,12 +95,12 @@ def pack_statics(statics, dtype=np.float32) -> PackedStatics:
                   Pr_b=stk(statics["Pr_b"], offs0, vec=True),
                   Ul=stk(statics["Ul"], ow), Ur=stk(statics["Ur"], ow))
     else:
-        z_n = np.zeros((len(offs0), nz, 1), dtype)
+        z_n = np.zeros((len(offs0), fold * nz, 1), dtype)
         kw = dict(Pl_b=z_n, Pr_b=z_n,
-                  Ul=np.zeros((len(ow), nz, 1), dtype),
-                  Ur=np.zeros((len(ow), nz, 1), dtype))
+                  Ul=np.zeros((len(ow), fold * nz, 1), dtype),
+                  Ur=np.zeros((len(ow), fold * nz, 1), dtype))
     return PackedStatics(
-        q=statics["q"], nz=nz, offs0=offs0, offs_p1=offs_p1,
+        q=statics["q"], nz=nz, fold=fold, offs0=offs0, offs_p1=offs_p1,
         offs_m1=offs_m1, ow=ow, has_penalty=statics["has_penalty"],
         TA=stk(statics["TA"], offs0), TB=stk(statics["TB"], offs0),
         DDb=stk(statics["DDb"], offs0, vec=True),
@@ -106,8 +124,8 @@ def _shift_rows(b, o, K):
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
 
-def _mask_i(nz, ct, dtype):
-    i = jax.lax.broadcasted_iota(jnp.int32, (nz + 1, ct), 0)
+def _mask_i(nz, ct, f, dtype):
+    i = jax.lax.broadcasted_iota(jnp.int32, (f * (nz + 1), ct), 0) // f
     return ((i > 0) & (i < nz)).astype(dtype)
 
 
@@ -116,7 +134,7 @@ def _dot(a, b):
                                preferred_element_type=a.dtype)
 
 
-def _kernel(q, nz, dt, constants, ps: PackedStatics, ref_jacobian,
+def _kernel(q, nz, f, dt, constants, ps: PackedStatics, ref_jacobian,
             newton_time_term,
             # --- refs ---
             rt_ref, w_ref, rho_ref, rt0_ref, w0_ref, rho0_ref,
@@ -159,12 +177,19 @@ def _kernel(q, nz, dt, constants, ps: PackedStatics, ref_jacobian,
     jac = jac_ref[...]
     jac_i = jaci_ref[...]
     drdxi = drdxi_ref[...]
-    c2aa = c2_ref[0:1]
-    c2ab = c2_ref[1:2]
-    c2ba = c2_ref[2:3]
-    c2bb = c2_ref[3:4]
+    # the 2-D metric c2 broadcasts over levels at f=1 ((1, ct) rows);
+    # folded it must be tiled explicitly to the level/interface row counts
+    def lev_rows(x):
+        return x if f == 1 else jnp.concatenate([x] * nz, axis=0)
 
-    mask = _mask_i(nz, ct, dtype)
+    def int_rows(x):
+        return x if f == 1 else jnp.concatenate([x] * (nz + 1), axis=0)
+
+    c2_rows = [c2_ref[i * f:(i + 1) * f] for i in range(4)]
+    c2aa_n, c2ab_n, c2ba_n, c2bb_n = [lev_rows(x) for x in c2_rows]
+    c2aa_i, c2ab_i, c2ba_i, c2bb_i = [int_rows(x) for x in c2_rows]
+
+    mask = _mask_i(nz, ct, f, dtype)
     inv_jac = 1.0 / jac
 
     # --- aux (nonhydro._implicit_aux) ---------------------------------
@@ -192,7 +217,7 @@ def _kernel(q, nz, dt, constants, ps: PackedStatics, ref_jacobian,
         sgn_xid = jnp.where(xid_i >= 0, 1.0, -1.0).astype(dtype)
 
     # penalty weights (vo == 1: interior element edges are rows 1..nz-1)
-    wb = jnp.abs(xid_i[1:nz])                       # (nfe-1, ct)
+    wb = jnp.abs(xid_i[f:f * nz])                   # (f*(nfe-1), ct)
     wl = _dot(Wl, wb)
     wr = _dot(Wr, wb)
     lrt = _dot(Pl, rt)
@@ -200,10 +225,10 @@ def _kernel(q, nz, dt, constants, ps: PackedStatics, ref_jacobian,
     lrho = _dot(Pl, rho)
     rrho = _dot(Pr, rho)
     if ref_jacobian:
-        sgn_edge = jnp.sign(xid_i[1:nz]) * cXi[1:nz]
+        sgn_edge = jnp.sign(xid_i[f:f * nz]) * cXi[f:f * nz]
     else:
-        sgn_edge = jnp.where(xid_i[1:nz] >= 0, 1.0,
-                             -1.0).astype(dtype) * cXi[1:nz]
+        sgn_edge = jnp.where(xid_i[f:f * nz] >= 0, 1.0,
+                             -1.0).astype(dtype) * cXi[f:f * nz]
 
     # --- residual F(x) (nonhydro._column_residual) --------------------
     mf_i = jac_i * rho_i * xid_i
@@ -211,12 +236,12 @@ def _kernel(q, nz, dt, constants, ps: PackedStatics, ref_jacobian,
     pf_i = jac_i * rt_i * xid_i
     f_rt = _dot(Di2n, pf_i) * inv_jac
 
-    con_ua_n = c2aa * u_n + c2ab * v_n + caxi * w_n
-    con_ub_n = c2ba * u_n + c2bb * v_n + cbxi * w_n
+    con_ua_n = c2aa_n * u_n + c2ab_n * v_n + caxi * w_n
+    con_ub_n = c2ba_n * u_n + c2bb_n * v_n + cbxi * w_n
     ke_n = 0.5 * (con_ua_n * u_n + con_ub_n * v_n + xid_n * w_n)
     dke_i = _dot(Dn2i, ke_n)
-    con_ua_i = c2aa * u_i + c2ab * v_i + caxii * w
-    con_ub_i = c2ba * u_i + c2bb * v_i + cbxii * w
+    con_ua_i = c2aa_i * u_i + c2ab_i * v_i + caxii * w
+    con_ub_i = c2ba_i * u_i + c2bb_i * v_i + cbxii * w
     curl = -con_ua_i * du_i - con_ub_i * dv_i
     pgf = dpi_i * rt_i / rho_i
     f_w = (pgf + c.g * drdxi + dke_i + curl) * mask
@@ -237,8 +262,8 @@ def _kernel(q, nz, dt, constants, ps: PackedStatics, ref_jacobian,
     r2 = dpi_i * inv_rho_i
     r3 = -dpi_i * rt_i * inv_rho_i * inv_rho_i
 
-    zn = jnp.zeros((nz, ct), dtype)
-    zi = jnp.zeros((nz + 1, ct), dtype)
+    zn = jnp.zeros((f * nz, ct), dtype)
+    zi = jnp.zeros((f * (nz + 1), ct), dtype)
     rt_slots = [zn] * b
     rho_slots = [zn] * b
     w_slots = [zi] * b
@@ -259,7 +284,7 @@ def _kernel(q, nz, dt, constants, ps: PackedStatics, ref_jacobian,
 
     for o in ps.offs_p1:
         d = q + 3 * o + 1
-        v_rt = inv_jac * Di2nb_ref[iw[o]] * _shift_rows(e_rt, o, nz)
+        v_rt = inv_jac * Di2nb_ref[iw[o]] * _shift_rows(e_rt, f * o, f * nz)
         if ps.has_penalty:
             v_rt = v_rt - lrt * _dot(Ul_ref[iw[o]], sgn_edge) \
                 - rrt * _dot(Ur_ref[iw[o]], sgn_edge)
@@ -267,7 +292,8 @@ def _kernel(q, nz, dt, constants, ps: PackedStatics, ref_jacobian,
 
     for o in ps.offs_m1:
         d = q + 3 * o - 1
-        v_rho = inv_jac * Di2nb_ref[iw[o]] * _shift_rows(e_rho, o, nz)
+        v_rho = inv_jac * Di2nb_ref[iw[o]] \
+            * _shift_rows(e_rho, f * o, f * nz)
         if ps.has_penalty:
             v_rho = v_rho - lrho * _dot(Ul_ref[iw[o]], sgn_edge) \
                 - rrho * _dot(Ur_ref[iw[o]], sgn_edge)
@@ -276,7 +302,7 @@ def _kernel(q, nz, dt, constants, ps: PackedStatics, ref_jacobian,
     for o in ps.offs_m1:
         d = q + 3 * o - 1
         v = mask * (r1 * Dn2ib_ref[im1[o]]
-                    * _shift_rows(dpi_drt, o, nz + 1)
+                    * _shift_rows(dpi_drt, f * o, f * (nz + 1))
                     + r2 * In2ib_ref[iw[o]])
         w_slots[d] = w_slots[d] + v
 
@@ -294,7 +320,8 @@ def _kernel(q, nz, dt, constants, ps: PackedStatics, ref_jacobian,
                 val = val + curl_coef
         val = val * mask
         if o >= 1:
-            li = jax.lax.broadcasted_iota(jnp.int32, (nz + 1, ct), 0)
+            li = jax.lax.broadcasted_iota(
+                jnp.int32, (f * (nz + 1), ct), 0) // f
             last_col = (li == nz - o).astype(dtype)
             w_slots[d - 1] = w_slots[d - 1] + val * last_col
             val = val * (1.0 - last_col)
@@ -315,8 +342,10 @@ def _kernel(q, nz, dt, constants, ps: PackedStatics, ref_jacobian,
             k, slots, rhs = i // 3, w_slots, f_w
         else:
             k, slots, rhs = i // 3, rho_slots, f_rho
-        # keep every row value 2-D (1, ct): Mosaic-friendly shapes
-        return [s[k:k + 1] for s in slots], rhs[k:k + 1]
+        # each row value is a (f, ct) slab: at fold=8 a FULL VPU tile,
+        # at fold=1 the original (1, ct) Mosaic-friendly row
+        return ([s[f * k:f * (k + 1)] for s in slots],
+                rhs[f * k:f * (k + 1)])
 
     u_hist = [None] * n
     y_hist = [None] * n
@@ -347,28 +376,93 @@ def _kernel(q, nz, dt, constants, ps: PackedStatics, ref_jacobian,
     drho_ref[...] = jnp.concatenate([x_sol[3 * k + 2] for k in range(nz)])
 
 
+def _fold_cols(x, f, ncol_pad):
+    """(K, ncol) -> (K*f, ncol_pad//f): row k*f+s holds the s-th eighth
+    of level k's (edge-padded) columns.  Plain row-major reshape."""
+    K, ncol = x.shape
+    if ncol_pad > ncol:
+        x = jnp.pad(x, ((0, 0), (0, ncol_pad - ncol)), mode="edge")
+    return x.reshape(K * f, ncol_pad // f)
+
+
+def _kron_f(m, f, dtype):
+    return jnp.asarray(np.kron(np.asarray(m, dtype), np.eye(f, dtype=dtype)))
+
+
 def fused_implicit_update(x_parts, x0_parts, aux_flat, mats, ps:
                           PackedStatics, dt, constants,
                           ref_jacobian=False, newton_time_term=False,
-                          col_tile: int = 512, interpret=None):
+                          col_tile: int = 512, lane_tile: int = 256,
+                          interpret=None):
     """Newton increment (d_rt, d_w, d_rho) = J^{-1} F for every column.
 
     ``x_parts``/``x0_parts``: (rt, w, rho) with shapes (nz|nz+1, ncol);
     ``aux_flat``: dict of column-flattened aux/geometry arrays; ``mats``:
     dict of the small vertical operator matrices.
+
+    ``ps.fold > 1`` selects the sublane-packed kernel: every operand is
+    folded to (K*f, ncol/f) outside the kernel (see module docstring);
+    ``lane_tile`` is then the per-block lane width (the effective column
+    tile is fold*lane_tile).  ``col_tile`` applies to the fold=1 path.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     nz = ps.nz
     q = ps.q
+    f = ps.fold
     rt, w, rho = x_parts
     ncol = rt.shape[1]
     dtype = rt.dtype
-    assert ncol % col_tile == 0, (ncol, col_tile)
-    grid = (ncol // col_tile,)
+    npdt = np.float32 if dtype == jnp.float32 else np.float64
+
+    if f > 1:
+        blk = f * lane_tile
+        ncol_pad = -(-ncol // blk) * blk
+        ct = lane_tile
+        grid = ((ncol_pad // f) // ct,)
+
+        folded = {}
+
+        def fold(a):
+            key = id(a)
+            if key not in folded:
+                folded[key] = _fold_cols(a, f, ncol_pad)
+            return folded[key]
+
+        col_inputs = [fold(a) for a in (
+            rt, w, rho, x0_parts[0], x0_parts[1], x0_parts[2],
+            aux_flat["u_n"], aux_flat["v_n"],
+            aux_flat["con_a_xi"], aux_flat["con_b_xi"],
+            aux_flat["con_xi_xi"], aux_flat["con_a_xi_int"],
+            aux_flat["con_b_xi_int"], aux_flat["con_xi_xi_int"],
+            aux_flat["jac"], aux_flat["jac_int"],
+            aux_flat["deriv_r_int"], aux_flat["c2"])]
+        small = [_kron_f(mats[k], f, npdt) for k in
+                 ("interp_n2i", "interp_i2n", "diff_n2i", "diff_i2n",
+                  "diffdiff_i2i", "penalty_left", "penalty_right",
+                  "wscat_left", "wscat_right")]
+        out_rows = (f * nz, f * (nz + 1), f * nz)
+    else:
+        ct = col_tile
+        assert ncol % ct == 0, (ncol, ct)
+        grid = (ncol // ct,)
+        col_inputs = [
+            rt, w, rho, x0_parts[0], x0_parts[1], x0_parts[2],
+            aux_flat["u_n"], aux_flat["v_n"],
+            aux_flat["con_a_xi"], aux_flat["con_b_xi"],
+            aux_flat["con_xi_xi"], aux_flat["con_a_xi_int"],
+            aux_flat["con_b_xi_int"], aux_flat["con_xi_xi_int"],
+            aux_flat["jac"], aux_flat["jac_int"],
+            aux_flat["deriv_r_int"], aux_flat["c2"],
+        ]
+        small = [mats["interp_n2i"], mats["interp_i2n"], mats["diff_n2i"],
+                 mats["diff_i2n"], mats["diffdiff_i2i"],
+                 mats["penalty_left"], mats["penalty_right"],
+                 mats["wscat_left"], mats["wscat_right"]]
+        out_rows = (nz, nz + 1, nz)
 
     def colspec(rows):
-        return pl.BlockSpec((rows, col_tile), lambda i: (0, i),
+        return pl.BlockSpec((rows, ct), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
 
     def whole(a):
@@ -376,18 +470,6 @@ def fused_implicit_update(x_parts, x0_parts, aux_flat, mats, ps:
         return pl.BlockSpec(a.shape, (lambda nd_: lambda i: (0,) * nd_)(nd),
                             memory_space=pltpu.VMEM)
 
-    col_inputs = [
-        rt, w, rho, x0_parts[0], x0_parts[1], x0_parts[2],
-        aux_flat["u_n"], aux_flat["v_n"],
-        aux_flat["con_a_xi"], aux_flat["con_b_xi"], aux_flat["con_xi_xi"],
-        aux_flat["con_a_xi_int"], aux_flat["con_b_xi_int"],
-        aux_flat["con_xi_xi_int"], aux_flat["jac"], aux_flat["jac_int"],
-        aux_flat["deriv_r_int"], aux_flat["c2"],
-    ]
-    small = [mats["interp_n2i"], mats["interp_i2n"], mats["diff_n2i"],
-             mats["diff_i2n"], mats["diffdiff_i2i"],
-             mats["penalty_left"], mats["penalty_right"],
-             mats["wscat_left"], mats["wscat_right"]]
     stat = [jnp.asarray(a, dtype) for a in
             (ps.TA, ps.TB, ps.DDb, ps.Di2n_b, ps.Dn2i_b, ps.In2i_b,
              ps.Pl_b, ps.Pr_b, ps.Ul, ps.Ur)]
@@ -396,15 +478,22 @@ def fused_implicit_update(x_parts, x0_parts, aux_flat, mats, ps:
                 + [whole(a) for a in small]
                 + [whole(a) for a in stat])
 
-    kern = functools.partial(_kernel, q, nz, float(dt), constants, ps,
+    ncol_out = col_inputs[0].shape[1]
+    kern = functools.partial(_kernel, q, nz, f, float(dt), constants, ps,
                              bool(ref_jacobian), bool(newton_time_term))
-    return pl.pallas_call(
+    outs = pl.pallas_call(
         kern, grid=grid, in_specs=in_specs,
-        out_specs=(colspec(nz), colspec(nz + 1), colspec(nz)),
-        out_shape=(jax.ShapeDtypeStruct((nz, ncol), dtype),
-                   jax.ShapeDtypeStruct((nz + 1, ncol), dtype),
-                   jax.ShapeDtypeStruct((nz, ncol), dtype)),
+        out_specs=tuple(colspec(r) for r in out_rows),
+        out_shape=tuple(jax.ShapeDtypeStruct((r, ncol_out), dtype)
+                        for r in out_rows),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )(*col_inputs, *small, *stat)
+    if f > 1:
+        d_rt, d_w, d_rho = outs
+        d_rt = d_rt.reshape(nz, -1)[:, :ncol]
+        d_w = d_w.reshape(nz + 1, -1)[:, :ncol]
+        d_rho = d_rho.reshape(nz, -1)[:, :ncol]
+        return d_rt, d_w, d_rho
+    return outs

@@ -282,6 +282,47 @@ def test_mesh_fast_engine_tracers():
 
 
 @pytest.mark.slow
+def test_mesh_fast_engine_tracers_rayleigh():
+    """Mesh + tracers + Rayleigh damping together: the fused Rayleigh
+    finish must only touch the five dynamics fields (tracers are never
+    damped) — regression for the KeyError the advisor reproduced when
+    the mesh dss_fn damped the full DSS payload."""
+    tc = MountainWaveSphere()
+    cfg = ModelConfig(grid_kind=GridKind.CUBED_SPHERE, ne=4, order=4,
+                      nz=8, ztop=tc.ztop, dt=50.0, hyperdiffusion=True,
+                      nu_scalar=1e14, nu_div=1e14, nu_vort=1e14,
+                      rayleigh_damping=True,
+                      vertical_solver="banded", dtype=jnp.float64)
+    geom = nh_model.build_nh_sphere_geometry(
+        cfg, topography=tc.topography, ztop=tc.ztop,
+        rayleigh=tc.rayleigh_strength)
+    state = dict(tc.initial_state(geom, cfg.constants, dtype=jnp.float64))
+    ref_state = tc.reference_state(geom, cfg.constants, dtype=jnp.float64)
+    A = cfg.ne * cfg.order
+    rng = np.random.default_rng(7)
+    ntr = 2
+    state["Tracers"] = jnp.asarray(
+        np.abs(rng.standard_normal((ntr, 6, A, A, cfg.nz))) * 1e-3)
+
+    fs, st = fast.make_fast_step(cfg, geom, ref_state=ref_state)
+    X, c = fs(fast.pack_state(state))
+    X, c = st(X, c)
+
+    mesh = _mesh(2, 2)
+    fsm, stm = fast.make_fast_step(cfg, geom, ref_state=ref_state,
+                                   mesh=mesh, ntracers=ntr)
+    spec = NamedSharding(mesh, P(None, None, "x", "y"))
+    Xm = {k: jax.device_put(v, spec)
+          for k, v in fast.pack_state(state).items()}
+    with mesh:
+        Xm, cm = fsm(Xm)
+        Xm, cm = stm(Xm, cm)
+    err = max(float(jnp.max(jnp.abs(Xm[k] - X[k]))
+                    / (jnp.max(jnp.abs(X[k])) + 1e-300)) for k in Xm)
+    assert err < 1e-11, err
+
+
+@pytest.mark.slow
 def test_model_driver_mesh():
     """Model(mesh=...) runs the fast engine distributed and matches the
     single-device driver (the reference's Grid::DistributePatches analog
