@@ -59,7 +59,8 @@ def timeit(f, *args, reps=20):
 
 
 ref = None
-for fold, tile in [(1, 640), (8, 128), (8, 256), (8, 512), (8, 1024)]:
+for fold, tile in [(1, 640), (8, 128), (8, 256), (4, 128), (4, 256),
+                   (4, 512), (2, 256), (2, 512)]:
     ps = pim.pack_statics(statics, dtype=np.float32, fold=fold)
 
     @jax.jit

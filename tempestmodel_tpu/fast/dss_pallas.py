@@ -100,16 +100,95 @@ def _add_edge(out_ref, panel: int, edge: int, line):
         raise ValueError(edge)
 
 
+def _edge_core(fields, outs, links, rot_ref=None):
+    """Shared edge-exchange core on pair-summed field VALUES.
+
+    Writes ``outs[j][...] = fields[j] + edge contributions`` EXCEPT the
+    multiplicity normalization (caller finishes).  Left/right edges
+    (sublane-axis rows) RMW the out refs directly; bottom/top edges live
+    on the LANE-minor axis where per-link slicing/updating costs a
+    cross-lane shuffle each (measured: the dominant per-launch cost), so
+    each boundary lane-column is read ONCE per field in row form and the
+    contributions are accumulated and flushed with ONE lane update per
+    boundary per field.  When ``rot_ref`` is given, fields[0:2] are the
+    covariant (U, V) pair and neighbor lines rotate with the per-node
+    2x2 panel transforms."""
+    A = fields[0].shape[2]
+    B = fields[0].shape[3]
+    cb = fields[0].shape[0]
+    dt_ = fields[0].dtype
+    rev = _rev_matrix(A, dt_)
+    nf = len(fields)
+
+    bread = [f[..., 0] for f in fields]          # (cb, 6, A)
+    tread = [f[..., B - 1] for f in fields]
+
+    def read_line(j, qa, qe):
+        if qe == EDGE_LEFT:
+            return fields[j][:, qa, 0:1, :]
+        if qe == EDGE_RIGHT:
+            return fields[j][:, qa, A - 1:A, :]
+        if qe == EDGE_BOTTOM:
+            return bread[j][:, qa:qa + 1, :]
+        return tread[j][:, qa:qa + 1, :]
+
+    for f, out in zip(fields, outs):
+        out[...] = f
+
+    badd = [[None] * 6 for _ in range(nf)]
+    tadd = [[None] * 6 for _ in range(nf)]
+
+    def add_line(j, pa, e, line):
+        if e == EDGE_LEFT:
+            outs[j][:, pa, 0:1, :] += line
+        elif e == EDGE_RIGHT:
+            outs[j][:, pa, A - 1:A, :] += line
+        elif e == EDGE_BOTTOM:
+            badd[j][pa] = line
+        else:
+            tadd[j][pa] = line
+
+    for i, (pa, e, qa, qe, flip) in enumerate(links):
+        def line_of(j):
+            line = read_line(j, qa, qe)
+            if flip:
+                line = _flip_row(line, rev)
+            return line
+
+        if rot_ref is not None:
+            lu = line_of(0)
+            lv = line_of(1)
+            m00 = rot_ref[0, i:i + 1, :][None]       # (1, 1, A)
+            m01 = rot_ref[1, i:i + 1, :][None]
+            m10 = rot_ref[2, i:i + 1, :][None]
+            m11 = rot_ref[3, i:i + 1, :][None]
+            add_line(0, pa, e, m00 * lu + m01 * lv)
+            add_line(1, pa, e, m10 * lu + m11 * lv)
+            rest = range(2, nf)
+        else:
+            rest = range(nf)
+        for j in rest:
+            add_line(j, pa, e, line_of(j))
+
+    # flush the collected bottom/top lines: panel one-hot broadcasts,
+    # then ONE lane-column update per boundary per field
+    panel_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 6, 1), 1)
+
+    def flush(lines):
+        acc = jnp.zeros((cb, 6, A), dt_)
+        for pa, l in enumerate(lines):
+            if l is not None:
+                acc = acc + jnp.where(panel_iota == pa, l, 0.0)
+        return acc
+
+    for j, out in enumerate(outs):
+        out[:, :, :, 0:1] += flush(badd[j]).reshape(cb, 6, A, 1)
+        out[:, :, :, B - 1:B] += flush(tadd[j]).reshape(cb, 6, A, 1)
+
+
 def _scalar_kernel(p, links, x_ref, imult_ref, out_ref):
     x = _pair_sum(x_ref[...], p)
-    A = x.shape[2]
-    rev = _rev_matrix(A, x.dtype)
-    out_ref[...] = x
-    for (pa, e, qa, qe, flip) in links:
-        line = _read_edge(x, qa, qe)
-        if flip:
-            line = _flip_row(line, rev)
-        _add_edge(out_ref, pa, e, line)
+    _edge_core([x], [out_ref], links)
     out_ref[...] = out_ref[...] * imult_ref[...][None]
 
 
@@ -117,22 +196,7 @@ def _vector_kernel(p, links, u_ref, v_ref, imult_ref, rot_ref,
                    uout_ref, vout_ref):
     u = _pair_sum(u_ref[...], p)
     v = _pair_sum(v_ref[...], p)
-    A = u.shape[2]
-    rev = _rev_matrix(A, u.dtype)
-    uout_ref[...] = u
-    vout_ref[...] = v
-    for i, (pa, e, qa, qe, flip) in enumerate(links):
-        lu = _read_edge(u, qa, qe)
-        lv = _read_edge(v, qa, qe)
-        if flip:
-            lu = _flip_row(lu, rev)
-            lv = _flip_row(lv, rev)
-        m00 = rot_ref[0, i:i + 1, :][None]           # (1, 1, A)
-        m01 = rot_ref[1, i:i + 1, :][None]
-        m10 = rot_ref[2, i:i + 1, :][None]
-        m11 = rot_ref[3, i:i + 1, :][None]
-        _add_edge(uout_ref, pa, e, m00 * lu + m01 * lv)
-        _add_edge(vout_ref, pa, e, m10 * lu + m11 * lv)
+    _edge_core([u, v], [uout_ref, vout_ref], links, rot_ref=rot_ref)
     w = imult_ref[...][None]
     uout_ref[...] = uout_ref[...] * w
     vout_ref[...] = vout_ref[...] * w
@@ -161,88 +225,14 @@ def _state_kernel(p, links, has_ray, refs):
     outs = refs[7 + nray:]
     u_ref, v_ref, rt_ref, rho_ref, w_ref, imult_ref, rot_ref = ins[:7]
     ray = ins[7:]
-    uout, vout, rtout, rhoout, wout = outs
 
     fields = [_pair_sum(r[...], p)
               for r in (u_ref, v_ref, rt_ref, rho_ref, w_ref)]
-    A = fields[0].shape[2]
-    B = fields[0].shape[3]
-    cb = fields[0].shape[0]
-    dt_ = fields[0].dtype
-    rev = _rev_matrix(A, dt_)
-
-    # Bottom/top edges live on the LANE-minor axis; slicing/updating them
-    # per link costs a cross-lane shuffle each (measured: the dominant
-    # kernel cost).  Read each boundary lane-column ONCE per field as a
-    # (cb, 6, A) row-form tensor, and accumulate bottom/top contributions
-    # into row-form accumulators flushed with ONE lane update per
-    # boundary per field.
-    bread = [f[..., 0] for f in fields]          # (cb, 6, A)
-    tread = [f[..., B - 1] for f in fields]
-
-    def read_line(j, qa, qe):
-        if qe == EDGE_LEFT:
-            return fields[j][:, qa, 0:1, :]
-        if qe == EDGE_RIGHT:
-            return fields[j][:, qa, A - 1:A, :]
-        if qe == EDGE_BOTTOM:
-            return bread[j][:, qa:qa + 1, :]
-        return tread[j][:, qa:qa + 1, :]
-
-    outs5 = [uout, vout, rtout, rhoout, wout]
-    for j, (f, out) in enumerate(zip(fields, outs5)):
-        out[...] = f
-
-    # each (panel, edge) occurs exactly once in the link table, so the
-    # bottom/top contributions are collected per panel and flushed with
-    # one concatenate + one lane update per boundary per field
-    badd = [[None] * 6 for _ in range(5)]
-    tadd = [[None] * 6 for _ in range(5)]
-
-    def add_line(j, pa, e, line):
-        if e == EDGE_LEFT:
-            outs5[j][:, pa, 0:1, :] += line
-        elif e == EDGE_RIGHT:
-            outs5[j][:, pa, A - 1:A, :] += line
-        elif e == EDGE_BOTTOM:
-            badd[j][pa] = line
-        else:
-            tadd[j][pa] = line
-
-    for i, (pa, e, qa, qe, flip) in enumerate(links):
-        def line_of(j):
-            line = read_line(j, qa, qe)
-            if flip:
-                line = _flip_row(line, rev)
-            return line
-
-        lu = line_of(0)
-        lv = line_of(1)
-        m00 = rot_ref[0, i:i + 1, :][None]
-        m01 = rot_ref[1, i:i + 1, :][None]
-        m10 = rot_ref[2, i:i + 1, :][None]
-        m11 = rot_ref[3, i:i + 1, :][None]
-        add_line(0, pa, e, m00 * lu + m01 * lv)
-        add_line(1, pa, e, m10 * lu + m11 * lv)
-        for j in (2, 3, 4):
-            add_line(j, pa, e, line_of(j))
-
-    # flush the collected bottom/top lines: panel one-hot broadcasts
-    # (elementwise, so Mosaic relayouts the heterogeneous line layouts)
-    # then ONE lane-column update per boundary per field
-    panel_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 6, 1), 1)
-
-    def flush(lines):
-        acc = jnp.zeros((cb, 6, A), dt_)
-        for pa, l in enumerate(lines):
-            if l is not None:
-                acc = acc + jnp.where(panel_iota == pa, l, 0.0)
-        return acc
+    outs5 = list(outs)
+    _edge_core(fields, outs5, links, rot_ref=rot_ref)
 
     w_ = imult_ref[...][None]
     for j, out in enumerate(outs5):
-        out[:, :, :, 0:1] += flush(badd[j]).reshape(cb, 6, A, 1)
-        out[:, :, :, B - 1:B] += flush(tadd[j]).reshape(cb, 6, A, 1)
         if has_ray:
             out[...] = ray[j][...] * (out[...] * w_) + ray[5 + j][...]
         else:
@@ -313,6 +303,117 @@ def dss_state(d, imult, rot, links, p: int, cb: int = 4, rayleigh=None,
         interpret=interpret,
     )(*field_in, *extras, *ray_in)
     return dict(zip(order, outs))
+
+
+def _uvw_kernel(p, links, nz, cb, c00, c01, two_base, refs):
+    (u_ref, v_ref, bw1_ref, bw2_ref, dw_ref, imult_ref, rot_ref,
+     cax0_ref, cbx0_ref, cxx0_ref, dts_ref,
+     uout_ref, vout_ref, wout_ref) = refs
+    i = pl.program_id(0)
+    dt_s = dts_ref[0, 0]
+    cb1 = dts_ref[0, 1]
+    cb2 = dts_ref[0, 2]
+    u = u_ref[...]
+    v = v_ref[...]
+    dtype = u.dtype
+    if two_base:
+        w_base = cb1 * bw1_ref[...] + cb2 * bw2_ref[...]
+    else:
+        w_base = bw1_ref[...]
+    gz = jax.lax.broadcasted_iota(jnp.int32, (cb, 1, 1, 1), 0) + i * cb
+    interior = ((gz > 0) & (gz < nz)).astype(dtype)
+    w = w_base + dt_s * dw_ref[...] * interior
+    # diagnostic bottom W from u^xi(surface) = 0 using the POST-stage
+    # pre-DSS velocities (engine.apply_w_boundary); interp_n2i row 0 has
+    # nonzeros only at levels 0..1 (asserted by the caller), which are
+    # block-local rows 0..1 of the gz==0 block
+    u0i = c00 * u[0:1] + c01 * u[1:2]
+    v0i = c00 * v[0:1] + c01 * v[1:2]
+    w0 = -(cax0_ref[...][None] * u0i + cbx0_ref[...][None] * v0i) \
+        / cxx0_ref[...][None]
+    w = jnp.where(gz == 0, w0, w)
+
+    up = _pair_sum(u, p)
+    vp = _pair_sum(v, p)
+    wp = _pair_sum(w, p)
+    _edge_core([up, vp, wp], [uout_ref, vout_ref, wout_ref], links,
+               rot_ref=rot_ref)
+    m = imult_ref[...][None]
+    uout_ref[...] = uout_ref[...] * m
+    vout_ref[...] = vout_ref[...] * m
+    wout_ref[...] = wout_ref[...] * m
+
+
+def _z_block(nz1, nz, cb):
+    """A z-block size near ``cb`` whose last block still intersects the
+    nz-level fields (fully out-of-range blocks are illegal)."""
+    def _ok(c):
+        return (pl.cdiv(nz1, c) - 1) * c < nz
+
+    if _ok(cb):
+        return cb
+    for c in list(range(cb + 1, 2 * cb + 2)) + list(range(cb - 1, 0, -1)):
+        if _ok(c):
+            return c
+    raise ValueError(f"no valid z-block size for nz={nz}")
+
+
+def dss_uvw(u, v, imult, rot, links, p: int, w_finish, cb: int = 2,
+            interpret=None):
+    """DSS of (U, V, W) in ONE launch with the W stage finish FOLDED in.
+
+    ``w_finish``: dict with ``bw1``/``bw2`` (base-W terms, bw2 None for a
+    single base), ``cb1``/``cb2``/``dt_s`` scalars, ``dW`` (the raw
+    interp_n2i @ ucz_x column GEMM, unmasked), ``cax0``/``cbx0``/``cxx0``
+    (surface metric rows, (6, A, B)) and ``c00``/``c01`` (the two
+    nonzeros of interp_n2i row 0).  The kernel assembles
+    W = base + dt_s * masked(dW), sets the diagnostic bottom row from
+    the updated velocities, then DSSes all three fields — replacing the
+    ~10 XLA kernels/stage of the former post-pass plus one launch."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    nz1 = w_finish["dW"].shape[0]
+    nz = nz1 - 1
+    K, _, A, B = u.shape
+    cb = _z_block(nz1, nz, max(cb, 2))
+    two_base = w_finish.get("bw2") is not None
+    dts = jnp.asarray([[w_finish["dt_s"], w_finish.get("cb1", 1.0),
+                        w_finish.get("cb2", 0.0)]], u.dtype)
+    bw2 = w_finish["bw2"] if two_base else w_finish["bw1"]
+
+    grid = (pl.cdiv(nz1, cb),)
+
+    def spec(Krows):
+        return pl.BlockSpec((cb, 6, A, B), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def whole(a):
+        nd = a.ndim
+        return pl.BlockSpec(a.shape, (lambda n: lambda i: (0,) * n)(nd),
+                            memory_space=pltpu.VMEM)
+
+    field_in = [u, v, w_finish["bw1"], bw2, w_finish["dW"]]
+    extras = [imult, rot, w_finish["cax0"], w_finish["cbx0"],
+              w_finish["cxx0"]]
+    in_specs = ([spec(a.shape[0]) for a in field_in]
+                + [whole(e) for e in extras]
+                + [pl.BlockSpec((1, 3), lambda i: (0, 0),
+                                memory_space=pltpu.SMEM)])
+    kern = lambda *refs: _uvw_kernel(p, tuple(links), nz, cb,
+                                     float(w_finish["c00"]),
+                                     float(w_finish["c01"]),
+                                     two_base, refs)
+    uo, vo, wo = pl.pallas_call(
+        kern, grid=grid, in_specs=in_specs,
+        out_specs=(spec(K), spec(K), spec(nz1)),
+        out_shape=(jax.ShapeDtypeStruct(u.shape, u.dtype),
+                   jax.ShapeDtypeStruct(v.shape, v.dtype),
+                   jax.ShapeDtypeStruct((nz1,) + u.shape[1:], u.dtype)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*field_in, *extras, dts)
+    return uo, vo, wo
 
 
 def dss_scalar(f, imult, links, p: int, cb: int = 4, interpret=None):

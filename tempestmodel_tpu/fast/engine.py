@@ -353,7 +353,22 @@ def colop(M, f):
 # DSS (Pallas kernels; see fast/dss_pallas.py)
 # ---------------------------------------------------------------------------
 
-def apply_dss(d, fg: FastGeometry, rayleigh=None):
+def w_finish_xla(d, wf):
+    """XLA fallback of the fused W stage finish (``dss_uvw`` semantics):
+    W = base + dt_s * masked(dW) with the diagnostic bottom row from the
+    updated velocities.  Used by engines whose DSS cannot fold it in
+    (the mesh shard_map payload)."""
+    dW = wf["dW"].at[0].set(0.0).at[-1].set(0.0)
+    base = wf["bw1"] if wf.get("bw2") is None else (
+        wf["cb1"] * wf["bw1"] + wf["cb2"] * wf["bw2"])
+    w = base + wf["dt_s"] * dW
+    u0 = wf["c00"] * d["U"][0] + wf["c01"] * d["U"][1]
+    v0 = wf["c00"] * d["V"][0] + wf["c01"] * d["V"][1]
+    w0 = -(wf["cax0"] * u0 + wf["cbx0"] * v0) / wf["cxx0"]
+    return w.at[0].set(w0)
+
+
+def apply_dss(d, fg: FastGeometry, rayleigh=None, w_finish=None):
     """DSS of the full fast state (U/V rotate as a covariant pair).
 
     Four launches (vector pair + 3 scalars), NOT the one-launch
@@ -361,11 +376,24 @@ def apply_dss(d, fg: FastGeometry, rayleigh=None):
     measured SLOWER in context on v5e (+0.08 ms/call, +0.55 ms/step at
     ne30 L30 f32) — the separate launches pipeline better against the
     surrounding XLA kernels.  ``dss_state`` is kept as the documented
-    negative result (same bitwise output, tested)."""
-    u, v = dss_pallas.dss_vector(d["U"], d["V"], fg.inv_mult, fg.e_rot,
-                                 fg.dss_links, fg.p)
-    out = {"U": u, "V": v}
-    for k in ("Rt", "Rho", "W"):
+    negative result (same bitwise output, tested).
+
+    ``w_finish``: deferred W stage finish from
+    ``stage_pallas.fused_stage(defer_w=True)`` — W is then assembled,
+    bottom-bounded and DSSed inside the (U, V) launch
+    (``dss_pallas.dss_uvw``), three launches total."""
+    if w_finish is not None:
+        u, v, w = dss_pallas.dss_uvw(d["U"], d["V"], fg.inv_mult,
+                                     fg.e_rot, fg.dss_links, fg.p,
+                                     w_finish)
+        out = {"U": u, "V": v, "W": w}
+        scalars = ("Rt", "Rho")
+    else:
+        u, v = dss_pallas.dss_vector(d["U"], d["V"], fg.inv_mult,
+                                     fg.e_rot, fg.dss_links, fg.p)
+        out = {"U": u, "V": v}
+        scalars = ("Rt", "Rho", "W")
+    for k in scalars:
         out[k] = dss_pallas.dss_scalar(d[k], fg.inv_mult, fg.dss_links,
                                        fg.p)
     if rayleigh is not None:
@@ -657,7 +685,7 @@ def _rayleigh_terms(cfg: ModelConfig, geom, ref_state):
 
 def _strang_fns(cfg: ModelConfig, fg: FastGeometry, rayleigh, dss_fn,
                 implicit_fn, use_fused_stage: bool,
-                use_fused_hyper: bool = False):
+                use_fused_hyper: bool = False, use_wfold: bool = False):
     """The Strang-HEVI step on z-first state, parameterized over the DSS
     and implicit-solve implementations so the single-device and
     shard_map-distributed engines share one driver.
@@ -681,9 +709,14 @@ def _strang_fns(cfg: ModelConfig, fg: FastGeometry, rayleigh, dss_fn,
         """base: state dict or 2-term ((c1, d1), (c2, d2)) combination
         (folded into the fused stage kernel when available)."""
         has_tr = "Tracers" in ueval
+        wfin = None
         if use_fused_stage:
             from .stage_pallas import fused_stage
-            upd = fused_stage(base, ueval, dt_s, fg, constants)
+            if use_wfold:
+                upd, wfin = fused_stage(base, ueval, dt_s, fg, constants,
+                                        defer_w=True)
+            else:
+                upd = fused_stage(base, ueval, dt_s, fg, constants)
         else:
             bb = comb(*base) if isinstance(base, tuple) else base
             tend = horizontal_tendency(ueval, fg, constants)
@@ -695,7 +728,7 @@ def _strang_fns(cfg: ModelConfig, fg: FastGeometry, rayleigh, dss_fn,
                        if isinstance(base, tuple) else base["Tracers"])
             upd["Tracers"] = ftr.horizontal_update(
                 base_tr, ueval, dt_s, fg)
-        return dss_fn(upd)
+        return dss_fn(upd, w_finish=wfin)
 
     def erk(X0):
         scheme = cfg.explicit_scheme
@@ -795,6 +828,11 @@ def make_fast_step(cfg: ModelConfig, geom: CubedSphereGeometry,
     rayleigh = _rayleigh_terms(cfg, geom, ref_state)
     use_fused_stage = (fg.vo == 1 and fg.A % 8 == 0 and fg.p <= 8
                        and 8 % fg.p == 0)
+    # fold the W stage finish into the (U, V) DSS launch when the
+    # surface interpolant row only reads the bottom two levels
+    In0 = np.asarray(geom.interp_n2i)[0]
+    use_wfold = (use_fused_stage and len(In0) >= 2
+                 and not np.any(In0[2:]))
     from . import hyper_pallas
     use_fused_hyper = hyper_pallas.supported(fg, cfg)
     saux = fimp.static_aux(fg)
@@ -815,8 +853,10 @@ def make_fast_step(cfg: ModelConfig, geom: CubedSphereGeometry,
 
     first_fn, step_fn = _strang_fns(
         cfg, fg, rayleigh,
-        lambda d, rayleigh=None: apply_dss(d, fg, rayleigh),
-        implicit_fn, use_fused_stage, use_fused_hyper)
+        lambda d, rayleigh=None, w_finish=None: apply_dss(
+            d, fg, rayleigh, w_finish),
+        implicit_fn, use_fused_stage, use_fused_hyper,
+        use_wfold=use_wfold)
     return jax.jit(first_fn), jax.jit(step_fn)
 
 
@@ -885,6 +925,9 @@ def _make_fast_step_mesh(cfg: ModelConfig, geom: CubedSphereGeometry,
 
     use_fused_stage = (template.vo == 1 and a % 8 == 0 and p <= 8
                        and 8 % p == 0)
+    In0 = np.asarray(geom.interp_n2i)[0]
+    use_wfold = (use_fused_stage and len(In0) >= 2
+                 and not np.any(In0[2:]))
     tr_statics = None
     if ntracers > 0:
         from . import tracers as ftr
@@ -915,7 +958,11 @@ def _make_fast_step_mesh(cfg: ModelConfig, geom: CubedSphereGeometry,
 
         rr = None if not ray_loc else (ray_loc["fac"], ray_loc["ref"])
 
-        def dss_fn(d, rayleigh=None):
+        def dss_fn(d, rayleigh=None, w_finish=None):
+            if w_finish is not None:
+                # the packed shard_map payload has no fused W slot;
+                # finish W in XLA before the exchange
+                d = dict(d, W=w_finish_xla(d, w_finish))
             out = dss_state_fn(d, fg_loc.inv_mult)
             if rayleigh is not None:
                 # restrict the fused Rayleigh finish to the dynamics
@@ -926,7 +973,8 @@ def _make_fast_step_mesh(cfg: ModelConfig, geom: CubedSphereGeometry,
             return out
 
         return _strang_fns(cfg, fg_loc, rr, dss_fn, implicit_fn,
-                           use_fused_stage, use_fused_hyper)
+                           use_fused_stage, use_fused_hyper,
+                           use_wfold=use_wfold)
 
     def body_first(d, gb, ray_loc):
         fg_loc = dataclasses.replace(template, **gb)

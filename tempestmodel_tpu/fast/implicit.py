@@ -349,12 +349,19 @@ def vertical_implicit(d, fg: FastGeometry, constants, dt, q, statics,
              and _pick_col_tile(ncol) >= 128)
     if fused:
         from . import pallas_implicit as pim
-        # fold=8: sublane-packed kernel (full (8, lane) VPU tiles per
-        # banded-LU row op instead of 1/8-utilized row vectors — the
-        # round-4 diagnosed fix, docs/PERF.md)
+        # Sublane-packed kernel (the round-4 diagnosed fix,
+        # docs/PERF.md): fold f column subtiles into the sublane dim so
+        # each banded-LU row op is an (f, lane) slab instead of a
+        # 1/8-utilized row vector.  Largest f in {8, 4, 2} keeping the
+        # kron(M, I_f) operator matrices inside ONE 128x128 MXU tile —
+        # at nz=30 that is f=4 ((124, 120) ops, measured 1.33 ms vs
+        # 1.75 ms at f=8 whose (248, 240) ops pay 4 MXU passes each).
+        fold = next((f for f in (8, 4, 2)
+                     if f * (nz + 1) <= 128),
+                    next((f for f in (4, 2) if f * (nz + 1) <= 256), 2))
         ps = pim.pack_statics(statics, dtype=np.float32
                               if x0_parts[0].dtype == jnp.float32
-                              else np.float64, fold=8)
+                              else np.float64, fold=fold)
         mats = {
             "interp_n2i": fg.interp_n2i, "interp_i2n": fg.interp_i2n,
             "diff_n2i": fg.diff_n2i, "diff_i2n": fg.diff_i2n,
@@ -369,7 +376,7 @@ def vertical_implicit(d, fg: FastGeometry, constants, dt, q, statics,
             d_rt, d_w, d_rho = pim.fused_implicit_update(
                 x_parts, x0_parts, aux, mats, ps, dt, constants,
                 ref_jacobian=ref_jacobian, newton_time_term=(it > 0),
-                col_tile=ct)
+                col_tile=ct, lane_tile=512)
             x_parts = (x_parts[0] - d_rt, x_parts[1] - d_w,
                        x_parts[2] - d_rho)
         rt, w, rho = x_parts

@@ -176,13 +176,20 @@ def _kernel(nz, p, delta, D, S, g, two_base, use_sep, refs):
 
 
 def fused_stage(base, ueval, dt_s, fg, constants, ac: int = 8,
-                interpret=None):
+                interpret=None, defer_w: bool = False):
     """One RK stage update: base + dt_s * tendency(ueval), W boundary
     applied; returns the pre-DSS updated state dict.
 
     ``base``: a state dict, or ``((c1, d1), (c2, d2))`` — a two-term RK
     linear combination evaluated inside the kernel (for U/V/Rt/Rho) so
-    the combined base never round-trips HBM."""
+    the combined base never round-trips HBM.
+
+    ``defer_w``: skip the XLA W post-pass and return
+    ``({U,V,Rt,Rho}, w_finish)`` where ``w_finish`` carries the raw
+    ``dW = interp_n2i @ ucz_x`` GEMM plus the base-W terms and surface
+    metric rows — the downstream DSS kernel assembles W, applies the
+    bottom boundary and DSSes it in the same launch
+    (``dss_pallas.dss_uvw``)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     two_base = isinstance(base, tuple)
@@ -286,6 +293,20 @@ def fused_stage(base, ueval, dt_s, fg, constants, ac: int = 8,
                         for _ in range(5)),
         interpret=interpret,
     )(*field_in, *small_in, dts)
+
+    if defer_w:
+        Imat = np.asarray(fg.interp_n2i)
+        w_finish = {
+            "bw1": base1["W"],
+            "bw2": base2["W"] if two_base else None,
+            "cb1": cb1, "cb2": cb2, "dt_s": dt_s,
+            "dW": colop(fg.interp_n2i, ucz_x),
+            "cax0": fg.con_a_xi_int[0], "cbx0": fg.con_b_xi_int[0],
+            "cxx0": fg.con_xi_xi_int[0],
+            "c00": float(Imat[0, 0]), "c01": float(Imat[0, 1]),
+        }
+        return ({"U": out_u, "V": out_v, "Rt": out_rt,
+                 "Rho": out_rho}, w_finish)
 
     # --- XLA post-pass: W update + diagnostic bottom boundary ---------
     dW = colop(fg.interp_n2i, ucz_x)

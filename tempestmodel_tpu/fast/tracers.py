@@ -111,15 +111,20 @@ def _tracer_band_statics(fg: FastGeometry):
 
 
 def update_column_tracers(d, w_new, fg: FastGeometry, dt, statics=None):
-    """Linear implicit vertical tracer update with factorization reuse
-    across species (z-first port of ``nonhydro.update_column_tracers``,
-    reference LU-reuse semantics, ``VerticalDynamicsFEM.cpp:3783-4262``).
+    """Linear implicit vertical tracer update with TRUE factorization
+    reuse across species (z-first port of
+    ``nonhydro.update_column_tracers``): the species share one band
+    matrix per column, so all right-hand sides are stacked on a species
+    axis and solved in ONE multi-RHS banded kernel — the elimination
+    runs once per column and each species only pays the substitution
+    (the reference's DGETRF-once / DGETRS-per-species,
+    ``VerticalDynamicsFEM.cpp:3783-4262``).
 
     Solved BANDED (half-bandwidth ~2*vo; tridiagonal at vo=1) via the
     same no-pivot banded machinery as the main implicit solve — the
     dense batched formulation costs ~70x more at ne30 L30."""
-    from ..models.vertical_banded import banded_solve_t
-    from ..ops.pallas_banded import banded_solve_pallas
+    from ..models.vertical_banded import banded_solve_multi_t
+    from ..ops.pallas_banded import banded_solve_multi_pallas
     import jax as _jax
 
     nz = fg.nz
@@ -167,26 +172,25 @@ def update_column_tracers(d, w_new, fg: FastGeometry, dt, statics=None):
         slots.append(band)
     bands = jnp.stack(slots, axis=1)              # (nz, 2q+1, Q)
 
+    # RHS stacked species-axis-middle (nz, ntr, Q): the einsums place
+    # the species axis directly where the multi-RHS solver wants it
     tr_f = tr.reshape(ntr, nz, Q)
     tr_i = jnp.einsum("ML,tLq->tMq", fg.interp_n2i, tr_f)
     mf = jxid[None] * tr_i * mask[None]
-    F = jnp.einsum("KM,tMq->tKq", fg.diff_i2n, mf) * inv_jac[None]
+    F = jnp.einsum("KM,tMq->Ktq", fg.diff_i2n, mf) * inv_jac[:, None]
     if has_pen:
-        F = F - (jnp.einsum("KL,tLq->tKq", fg.penalty_left, tr_f)
-                 * wl[None]
-                 + jnp.einsum("KL,tLq->tKq", fg.penalty_right, tr_f)
-                 * wr[None])
+        F = F - (jnp.einsum("KL,tLq->Ktq", fg.penalty_left, tr_f)
+                 * wl[:, None]
+                 + jnp.einsum("KL,tLq->Ktq", fg.penalty_right, tr_f)
+                 * wr[:, None])
 
     use_pallas = (_jax.default_backend() != "cpu"
                   and Q % 128 == 0)
-    sols = []
-    for t in range(ntr):
-        if use_pallas:
-            sols.append(banded_solve_pallas(bands, F[t], q_tr))
-        else:
-            sols.append(banded_solve_t(bands, F[t], q_tr))
-    sol = jnp.stack(sols)
-    return (tr_f - sol).reshape(tr.shape)
+    if use_pallas:
+        sol = banded_solve_multi_pallas(bands, F, q_tr)
+    else:
+        sol = banded_solve_multi_t(bands, F, q_tr)
+    return (tr_f - jnp.moveaxis(sol, 1, 0)).reshape(tr.shape)
 
 
 def filter_column(tr, fg: FastGeometry):

@@ -140,6 +140,49 @@ def banded_solve_t(bands, rhs, q: int):
     return X                                          # (n, ncol)
 
 
+def banded_solve_multi_t(bands, rhs, q: int):
+    """Shared-matrix multi-RHS banded solve: ``bands`` (n, 2q+1, ncol),
+    ``rhs`` (n, R, ncol) -> (n, R, ncol).  One elimination per column,
+    R substitutions (the reference's DGETRF-once / DGETRS-per-species
+    tracer semantics, ``VerticalDynamicsFEM.cpp:4028-4262``)."""
+    n, b, ncol = bands.shape
+    R = rhs.shape[1]
+    dtype = bands.dtype
+
+    zvar = bands[0, 0] * 0.0                          # (ncol,)
+    u_init = zvar + jnp.zeros((q, q + 1, 1), dtype)
+    u_init = u_init.at[:, 0].set(1.0)
+    y_init = zvar + jnp.zeros((q, R, 1), dtype)
+
+    def fwd(carry, row):
+        u_prev, y_prev = carry
+        w, rhs_i = row                          # (2q+1, ncol), (R, ncol)
+        y_i = rhs_i
+        for t in range(q):
+            f = w[t] / u_prev[t, 0]
+            w = w.at[t + 1:t + q + 1].add(-f[None, :] * u_prev[t, 1:])
+            y_i = y_i - f[None, :] * y_prev[t]
+        u_i = w[q:]
+        u_next = jnp.concatenate([u_prev[1:], u_i[None]], axis=0)
+        y_next = jnp.concatenate([y_prev[1:], y_i[None]], axis=0)
+        return (u_next, y_next), (u_i, y_i)
+
+    (_, _), (U, Y) = jax.lax.scan(fwd, (u_init, y_init), (bands, rhs))
+
+    x_init = zvar + jnp.zeros((q, R, 1), dtype)
+
+    def bwd(x_next, row):
+        u_i, y_i = row
+        acc = y_i
+        for d in range(q):
+            acc = acc - u_i[d + 1][None] * x_next[d]
+        x_i = acc / u_i[0][None]
+        return jnp.concatenate([x_i[None], x_next[:-1]], axis=0), x_i
+
+    _, X = jax.lax.scan(bwd, x_init, (U, Y), reverse=True)
+    return X                                          # (n, R, ncol)
+
+
 def banded_newton_update(batched_resid, x0, q: int, nz: int,
                          use_pallas: bool = False, multi_jvp=None,
                          bands_fn=None):

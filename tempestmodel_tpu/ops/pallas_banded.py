@@ -72,6 +72,93 @@ def _banded_kernel(q, n, bands_ref, rhs_ref, out_ref, u_ref, y_ref):
     jax.lax.fori_loop(0, n, bwd, 0)
 
 
+def _banded_multi_kernel(q, n, R, bands_ref, rhs_ref, out_ref, u_ref,
+                         y_ref):
+    """Forward elimination ONCE per column + back substitution for R
+    right-hand sides sharing the band matrix (the reference's
+    DGETRF-once / DGETRS-per-species tracer update,
+    ``VerticalDynamicsFEM.cpp:4028-4262``).
+
+    rhs_ref/out_ref: (n, R, tile); u_ref: (n, q+1, tile); y_ref:
+    (n, R, tile).
+    """
+    u_ref[...] = jnp.zeros_like(u_ref)
+    u_ref[:, 0, :] = jnp.ones_like(u_ref[:, 0, :])
+    y_ref[...] = jnp.zeros_like(y_ref)
+    out_ref[...] = jnp.zeros_like(out_ref)
+
+    def fwd(i, _):
+        w = bands_ref[i]                       # (2q+1, tile)
+        y_i = rhs_ref[i]                       # (R, tile)
+        for t in range(q):
+            row = jnp.maximum(i - q + t, 0)
+            u_prev = u_ref[row]                # (q+1, tile)
+            f = w[t] / u_prev[0]               # (tile,)
+            w = jnp.concatenate(
+                [w[:t + 1],
+                 w[t + 1:t + q + 1] - f[None, :] * u_prev[1:],
+                 w[t + q + 1:]], axis=0)
+            y_i = y_i - f[None, :] * y_ref[row]
+        u_ref[i] = w[q:]
+        y_ref[i] = y_i
+        return 0
+
+    jax.lax.fori_loop(0, n, fwd, 0)
+
+    def bwd(j, _):
+        i = n - 1 - j
+        u_i = u_ref[i]                         # (q+1, tile)
+        acc = y_ref[i]                         # (R, tile)
+        for d in range(q):
+            nxt = jnp.minimum(i + d + 1, n - 1)
+            acc = acc - u_i[d + 1][None, :] * out_ref[nxt]
+        out_ref[i] = acc / u_i[0][None, :]
+        return 0
+
+    jax.lax.fori_loop(0, n, bwd, 0)
+
+
+def banded_solve_multi_pallas(bands, rhs, q: int, col_tile: int = 512,
+                              interpret: bool = None):
+    """Solve the batched banded systems for R shared-matrix RHS in one
+    kernel: ``bands`` (n, 2q+1, ncol), ``rhs`` (n, R, ncol) ->
+    (n, R, ncol).  The elimination runs ONCE per column; each RHS only
+    pays the forward/backward substitution."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n, b, ncol = bands.shape
+    R = rhs.shape[1]
+    assert b == 2 * q + 1 and rhs.shape == (n, R, ncol)
+    if ncol % col_tile != 0:
+        pad = col_tile - ncol % col_tile
+        bands = jnp.pad(bands, ((0, 0), (0, 0), (0, pad)))
+        bands = bands.at[:, q, ncol:].set(1.0)
+        rhs = jnp.pad(rhs, ((0, 0), (0, 0), (0, pad)))
+        out = banded_solve_multi_pallas(bands, rhs, q, col_tile, interpret)
+        return out[:, :, :ncol]
+
+    grid = (ncol // col_tile,)
+    kernel = functools.partial(_banded_multi_kernel, q, n, R)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n, b, col_tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, R, col_tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n, R, col_tile), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, R, ncol), bands.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((n, q + 1, col_tile), bands.dtype),
+            pltpu.VMEM((n, R, col_tile), bands.dtype),
+        ],
+        interpret=interpret,
+    )(bands, rhs)
+
+
 def banded_solve_pallas(bands, rhs, q: int, col_tile: int = 512,
                         interpret: bool = None):
     """Solve the batched banded systems with one Pallas kernel.
