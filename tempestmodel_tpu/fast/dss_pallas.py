@@ -27,10 +27,18 @@ from jax.experimental.pallas import tpu as pltpu
 from ..grid.geometry import EDGE_LEFT, EDGE_RIGHT, EDGE_BOTTOM, EDGE_TOP
 
 
-def _pair_masks(A: int, p: int, dtype):
+def _pair_masks(A: int, p: int, dtype, wrap: bool = False):
+    """Receive masks for the ±1 rolls.  ``wrap=True`` drops the boundary
+    exclusion: position 0 then receives the A-1 line and vice versa — the
+    periodic wrap-sum of the Cartesian grids (the roll is already
+    circular, so the wrap costs nothing extra)."""
     a = jax.lax.broadcasted_iota(jnp.int32, (A, 1), 0)
-    m_hi = ((a % p == p - 1) & (a < A - 1)).astype(dtype)     # (A, 1)
-    m_lo = ((a % p == 0) & (a > 0)).astype(dtype)
+    if wrap:
+        m_hi = (a % p == p - 1).astype(dtype)                 # (A, 1)
+        m_lo = (a % p == 0).astype(dtype)
+    else:
+        m_hi = ((a % p == p - 1) & (a < A - 1)).astype(dtype)
+        m_lo = ((a % p == 0) & (a > 0)).astype(dtype)
     return m_hi, m_lo
 
 
@@ -41,16 +49,18 @@ def _rev_matrix(A: int, dtype):
     return (i + j == A - 1).astype(dtype)
 
 
-def _pair_sum(x, p: int):
+def _pair_sum(x, p: int, wrap=(False, False)):
     """Interior element pair sums along axes 2 (A) and 3 (B) of a
-    (cb, 6, A, B) block; equals parallel/dss._pair_sum_interior."""
+    (cb, P, A, B) block; equals parallel/dss._pair_sum_interior.
+    ``wrap``: per-axis periodic wrap-sum (Cartesian grids,
+    ``cartesian._pair_sum_axis`` with periodic=True)."""
     A, B = x.shape[2], x.shape[3]
     dt = x.dtype
-    m_hi_a, m_lo_a = _pair_masks(A, p, dt)
+    m_hi_a, m_lo_a = _pair_masks(A, p, dt, wrap[0])
     # pltpu.roll requires non-negative shifts: shift A-1 == shift -1
     x = (x + pltpu.roll(x, A - 1, 2) * m_hi_a
          + pltpu.roll(x, 1, 2) * m_lo_a)
-    m_hi_b, m_lo_b = _pair_masks(B, p, dt)
+    m_hi_b, m_lo_b = _pair_masks(B, p, dt, wrap[1])
     m_hi_b = m_hi_b.reshape(1, B)
     m_lo_b = m_lo_b.reshape(1, B)
     x = (x + pltpu.roll(x, B - 1, 3) * m_hi_b
@@ -116,11 +126,12 @@ def _edge_core(fields, outs, links, rot_ref=None):
     A = fields[0].shape[2]
     B = fields[0].shape[3]
     cb = fields[0].shape[0]
+    P = fields[0].shape[1]
     dt_ = fields[0].dtype
     rev = _rev_matrix(A, dt_)
     nf = len(fields)
 
-    bread = [f[..., 0] for f in fields]          # (cb, 6, A)
+    bread = [f[..., 0] for f in fields]          # (cb, P, A)
     tread = [f[..., B - 1] for f in fields]
 
     def read_line(j, qa, qe):
@@ -135,8 +146,8 @@ def _edge_core(fields, outs, links, rot_ref=None):
     for f, out in zip(fields, outs):
         out[...] = f
 
-    badd = [[None] * 6 for _ in range(nf)]
-    tadd = [[None] * 6 for _ in range(nf)]
+    badd = [[None] * P for _ in range(nf)]
+    tadd = [[None] * P for _ in range(nf)]
 
     def add_line(j, pa, e, line):
         if e == EDGE_LEFT:
@@ -172,46 +183,82 @@ def _edge_core(fields, outs, links, rot_ref=None):
 
     # flush the collected bottom/top lines: panel one-hot broadcasts,
     # then ONE lane-column update per boundary per field
-    panel_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 6, 1), 1)
+    panel_iota = jax.lax.broadcasted_iota(jnp.int32, (1, P, 1), 1)
 
     def flush(lines):
-        acc = jnp.zeros((cb, 6, A), dt_)
+        acc = jnp.zeros((cb, P, A), dt_)
         for pa, l in enumerate(lines):
             if l is not None:
                 acc = acc + jnp.where(panel_iota == pa, l, 0.0)
         return acc
 
     for j, out in enumerate(outs):
-        out[:, :, :, 0:1] += flush(badd[j]).reshape(cb, 6, A, 1)
-        out[:, :, :, B - 1:B] += flush(tadd[j]).reshape(cb, 6, A, 1)
+        out[:, :, :, 0:1] += flush(badd[j]).reshape(cb, P, A, 1)
+        out[:, :, :, B - 1:B] += flush(tadd[j]).reshape(cb, P, A, 1)
 
 
-def _scalar_kernel(p, links, x_ref, imult_ref, out_ref):
-    x = _pair_sum(x_ref[...], p)
+def _scalar_kernel(p, links, wrap, x_ref, imult_ref, out_ref):
+    x = _pair_sum(x_ref[...], p, wrap)
     _edge_core([x], [out_ref], links)
     out_ref[...] = out_ref[...] * imult_ref[...][None]
 
 
-def _vector_kernel(p, links, u_ref, v_ref, imult_ref, rot_ref,
+def _scalar2_kernel(p, links, wrap, x1_ref, x2_ref, imult_ref, o1_ref, o2_ref):
+    """Two same-shape scalar fields in one launch (shared weight reads,
+    one set of per-launch operand DMAs)."""
+    x1 = _pair_sum(x1_ref[...], p, wrap)
+    x2 = _pair_sum(x2_ref[...], p, wrap)
+    _edge_core([x1, x2], [o1_ref, o2_ref], links)
+    w = imult_ref[...][None]
+    o1_ref[...] = o1_ref[...] * w
+    o2_ref[...] = o2_ref[...] * w
+
+
+def dss_scalar2(f1, f2, imult, links, p: int, cb: int = 4,
+                interpret=None, wrap=(False, False)):
+    """DSS of two same-shape scalar (K, 6, A, B) fields; one launch.
+
+    MEASURED NEGATIVE RESULT (kept for the record, like ``dss_state``):
+    merging the Rt/Rho launches costs +0.4 ms/step in context at ne30
+    L30 f32 on v5e (cb 2 and 4 both) — the separate launches pipeline
+    better against neighboring XLA kernels.  Bitwise-identical output
+    to two ``dss_scalar`` calls."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    K, P, A, B = f1.shape
+    grid, in_specs, out_spec = _grid_spec(K, cb, A, B, 2, [imult], P)
+    kern = functools.partial(_scalar2_kernel, p, tuple(links), wrap)
+    return pl.pallas_call(
+        kern, grid=grid, in_specs=in_specs,
+        out_specs=(out_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct(f1.shape, f1.dtype),
+                   jax.ShapeDtypeStruct(f2.shape, f2.dtype)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(f1, f2, imult)
+
+
+def _vector_kernel(p, links, wrap, u_ref, v_ref, imult_ref, rot_ref,
                    uout_ref, vout_ref):
-    u = _pair_sum(u_ref[...], p)
-    v = _pair_sum(v_ref[...], p)
+    u = _pair_sum(u_ref[...], p, wrap)
+    v = _pair_sum(v_ref[...], p, wrap)
     _edge_core([u, v], [uout_ref, vout_ref], links, rot_ref=rot_ref)
     w = imult_ref[...][None]
     uout_ref[...] = uout_ref[...] * w
     vout_ref[...] = vout_ref[...] * w
 
 
-def _grid_spec(K, cb, A, B, n_data: int, extras):
+def _grid_spec(K, cb, A, B, n_data: int, extras, P: int = 6):
     grid = (pl.cdiv(K, cb),)
-    data_spec = pl.BlockSpec((cb, 6, A, B), lambda i: (i, 0, 0, 0),
+    data_spec = pl.BlockSpec((cb, P, A, B), lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM)
     whole = [pl.BlockSpec(e.shape, (lambda nd: lambda i: (0,) * nd)(e.ndim),
                           memory_space=pltpu.VMEM) for e in extras]
     return grid, [data_spec] * n_data + whole, data_spec
 
 
-def _state_kernel(p, links, has_ray, refs):
+def _state_kernel(p, links, wrap, has_ray, refs):
     """All five fields in ONE launch: U/V rotate as a covariant pair,
     Rt/Rho/W DSS as scalars; optional fused Rayleigh finish
     (x <- fac * x + ref, the ``engine.apply_rayleigh`` term form).
@@ -226,7 +273,7 @@ def _state_kernel(p, links, has_ray, refs):
     u_ref, v_ref, rt_ref, rho_ref, w_ref, imult_ref, rot_ref = ins[:7]
     ray = ins[7:]
 
-    fields = [_pair_sum(r[...], p)
+    fields = [_pair_sum(r[...], p, wrap)
               for r in (u_ref, v_ref, rt_ref, rho_ref, w_ref)]
     outs5 = list(outs)
     _edge_core(fields, outs5, links, rot_ref=rot_ref)
@@ -240,7 +287,7 @@ def _state_kernel(p, links, has_ray, refs):
 
 
 def dss_state(d, imult, rot, links, p: int, cb: int = 4, rayleigh=None,
-              interpret=None):
+              interpret=None, wrap=(False, False)):
     """DSS of the full fast state in ONE kernel launch.
 
     ``d``: dict U/V/Rt/Rho (nz, 6, A, B) + W (nz+1, 6, A, B).
@@ -255,7 +302,7 @@ def dss_state(d, imult, rot, links, p: int, cb: int = 4, rayleigh=None,
     isolated timings are equal.  Bitwise-identical output either way."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    nz1, _, A, B = d["W"].shape
+    nz1, P, A, B = d["W"].shape
     nz = nz1 - 1
     # the grid spans W's nz+1 levels; the nz-level fields tolerate a
     # PARTIALLY out-of-range last block (Pallas masks it) but a FULLY
@@ -285,14 +332,14 @@ def dss_state(d, imult, rot, links, p: int, cb: int = 4, rayleigh=None,
     grid = (pl.cdiv(nz1, cb),)
 
     def spec(K):
-        return pl.BlockSpec((cb, 6, A, B), lambda i: (i, 0, 0, 0),
+        return pl.BlockSpec((cb, P, A, B), lambda i: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
     whole = [pl.BlockSpec(e.shape, (lambda nd: lambda i: (0,) * nd)(e.ndim),
                           memory_space=pltpu.VMEM) for e in extras]
     in_specs = ([spec(a.shape[0]) for a in field_in] + whole
                 + [spec(a.shape[0]) for a in ray_in])
-    kern = lambda *refs: _state_kernel(p, tuple(links), has_ray, refs)
+    kern = lambda *refs: _state_kernel(p, tuple(links), wrap, has_ray, refs)
     outs = pl.pallas_call(
         kern, grid=grid, in_specs=in_specs,
         out_specs=tuple(spec(a.shape[0]) for a in field_in),
@@ -305,7 +352,7 @@ def dss_state(d, imult, rot, links, p: int, cb: int = 4, rayleigh=None,
     return dict(zip(order, outs))
 
 
-def _uvw_kernel(p, links, nz, cb, c00, c01, two_base, refs):
+def _uvw_kernel(p, links, wrap, nz, cb, c00, c01, two_base, refs):
     (u_ref, v_ref, bw1_ref, bw2_ref, dw_ref, imult_ref, rot_ref,
      cax0_ref, cbx0_ref, cxx0_ref, dts_ref,
      uout_ref, vout_ref, wout_ref) = refs
@@ -333,9 +380,9 @@ def _uvw_kernel(p, links, nz, cb, c00, c01, two_base, refs):
         / cxx0_ref[...][None]
     w = jnp.where(gz == 0, w0, w)
 
-    up = _pair_sum(u, p)
-    vp = _pair_sum(v, p)
-    wp = _pair_sum(w, p)
+    up = _pair_sum(u, p, wrap)
+    vp = _pair_sum(v, p, wrap)
+    wp = _pair_sum(w, p, wrap)
     _edge_core([up, vp, wp], [uout_ref, vout_ref, wout_ref], links,
                rot_ref=rot_ref)
     m = imult_ref[...][None]
@@ -359,7 +406,7 @@ def _z_block(nz1, nz, cb):
 
 
 def dss_uvw(u, v, imult, rot, links, p: int, w_finish, cb: int = 2,
-            interpret=None):
+            interpret=None, wrap=(False, False)):
     """DSS of (U, V, W) in ONE launch with the W stage finish FOLDED in.
 
     ``w_finish``: dict with ``bw1``/``bw2`` (base-W terms, bw2 None for a
@@ -374,7 +421,7 @@ def dss_uvw(u, v, imult, rot, links, p: int, w_finish, cb: int = 2,
         interpret = jax.default_backend() == "cpu"
     nz1 = w_finish["dW"].shape[0]
     nz = nz1 - 1
-    K, _, A, B = u.shape
+    K, P, A, B = u.shape
     cb = _z_block(nz1, nz, max(cb, 2))
     two_base = w_finish.get("bw2") is not None
     dts = jnp.asarray([[w_finish["dt_s"], w_finish.get("cb1", 1.0),
@@ -384,7 +431,7 @@ def dss_uvw(u, v, imult, rot, links, p: int, w_finish, cb: int = 2,
     grid = (pl.cdiv(nz1, cb),)
 
     def spec(Krows):
-        return pl.BlockSpec((cb, 6, A, B), lambda i: (i, 0, 0, 0),
+        return pl.BlockSpec((cb, P, A, B), lambda i: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def whole(a):
@@ -399,7 +446,7 @@ def dss_uvw(u, v, imult, rot, links, p: int, w_finish, cb: int = 2,
                 + [whole(e) for e in extras]
                 + [pl.BlockSpec((1, 3), lambda i: (0, 0),
                                 memory_space=pltpu.SMEM)])
-    kern = lambda *refs: _uvw_kernel(p, tuple(links), nz, cb,
+    kern = lambda *refs: _uvw_kernel(p, tuple(links), wrap, nz, cb,
                                      float(w_finish["c00"]),
                                      float(w_finish["c01"]),
                                      two_base, refs)
@@ -416,13 +463,14 @@ def dss_uvw(u, v, imult, rot, links, p: int, w_finish, cb: int = 2,
     return uo, vo, wo
 
 
-def dss_scalar(f, imult, links, p: int, cb: int = 4, interpret=None):
-    """DSS of a scalar (K, 6, A, B) field; one kernel launch."""
+def dss_scalar(f, imult, links, p: int, cb: int = 4, interpret=None,
+               wrap=(False, False)):
+    """DSS of a scalar (K, P, A, B) field; one kernel launch."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    K, _, A, B = f.shape
-    grid, in_specs, out_spec = _grid_spec(K, cb, A, B, 1, [imult])
-    kern = functools.partial(_scalar_kernel, p, tuple(links))
+    K, P, A, B = f.shape
+    grid, in_specs, out_spec = _grid_spec(K, cb, A, B, 1, [imult], P)
+    kern = functools.partial(_scalar_kernel, p, tuple(links), wrap)
     return pl.pallas_call(
         kern, grid=grid, in_specs=in_specs, out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct(f.shape, f.dtype),
@@ -431,13 +479,13 @@ def dss_scalar(f, imult, links, p: int, cb: int = 4, interpret=None):
 
 
 def dss_vector(u, v, imult, rot, links, p: int, cb: int = 2,
-               interpret=None):
-    """DSS of a covariant vector pair (K, 6, A, B) x2; one launch."""
+               interpret=None, wrap=(False, False)):
+    """DSS of a covariant vector pair (K, P, A, B) x2; one launch."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    K, _, A, B = u.shape
-    grid, in_specs, out_spec = _grid_spec(K, cb, A, B, 2, [imult, rot])
-    kern = functools.partial(_vector_kernel, p, tuple(links))
+    K, P, A, B = u.shape
+    grid, in_specs, out_spec = _grid_spec(K, cb, A, B, 2, [imult, rot], P)
+    kern = functools.partial(_vector_kernel, p, tuple(links), wrap)
     uo, vo = pl.pallas_call(
         kern, grid=grid, in_specs=in_specs,
         out_specs=(out_spec, out_spec),

@@ -150,6 +150,22 @@ class FastGeometry:
     sep_da: Any = None
     sep_db: Any = None
     sep_jacl: Any = None
+    # grid family: 6 cubed-sphere panels with edge links, or 1 Cartesian
+    # panel with per-axis periodic wrap-sums in the DSS kernels
+    npanels: int = 6
+    wrap: tuple = (False, False)
+    # xz slice: which ENGINE velocity slot carries the physical V whose
+    # tendency is identically zero ("V" natural, "U" when ab_swapped)
+    xz_zero: str = None
+    # Cartesian grids with a short y extent run TRANSPOSED (x on the
+    # 128-lane axis): engine (a, b) = physical (y, x), engine U/V =
+    # physical V/U, fj negated — an exact relabeling of the equations
+    # (orientation flip).  pack/unpack swap at the step boundary.
+    ab_swapped: bool = False
+    # hyperviscosity local scale always uses the physical delta_a
+    # (reference nu_local_scale), which differs from the engine's
+    # first-axis element width when ab_swapped
+    nu_delta: float = None
 
 
 def _extract_separable_metric(geom):
@@ -314,6 +330,136 @@ def build_fast_geometry(geom: CubedSphereGeometry,
     )
 
 
+def _swap_ab_state(d):
+    """(a, b)-transpose a z-first state dict and relabel U <-> V (an
+    involution).  Together with ``fj -> -fj`` this is an EXACT
+    relabeling of the equations (orientation flip): the engine runs in
+    (b, a) coordinates so the long Cartesian x axis lands on the
+    128-lane axis (the natural (..., A, 4) xz layout wastes 97% of every
+    vreg and forces relayout copies around each Pallas call — measured
+    1.1 ms/step of pure copies at the Schar bench size)."""
+    m = {"U": "V", "V": "U"}
+    return {m.get(k, k): jnp.swapaxes(v, -2, -1) for k, v in d.items()}
+
+
+def build_fast_geometry_cartesian(geom, dtype=jnp.float32,
+                                  swap_ab=None) -> FastGeometry:
+    """FastGeometry from a ``CartesianGeometry`` (xz slice or 3-D plane).
+
+    One panel, no edge links: the DSS kernels run pure pair-sums with
+    per-axis periodic wrap (``dss_pallas._pair_masks(wrap=True)``), the
+    analog of ``GridCartesianGLL::ApplyDSS`` periodic averaging
+    (``/root/reference/src/atm/GridCartesianGLL.cpp:600-660``).  Only
+    periodic lateral BCs are supported here — no-flux configs keep the
+    reference-layout engine (their lagged-halo semantics thread a shadow
+    state through the RK combinations).
+
+    ``swap_ab`` (default: auto when the y extent is much shorter than
+    x): run the engine transposed — see ``_swap_ab_state``."""
+    nz, p = geom.nz, geom.p
+    f64 = np.float64
+    if swap_ab is None:
+        swap_ab = geom.ney * p < geom.nex * p and geom.ney * p < 32
+
+    D = np.asarray(geom.deriv, f64)
+    S = np.asarray(geom.stiff, f64)
+    if swap_ab:
+        ne_a, ne_b = geom.ney, geom.nex
+        d_a, d_b = geom.delta_b, geom.delta_a
+        wrap = (geom.bc_y == "periodic", geom.bc_x == "periodic")
+        fj_sign = -1.0
+    else:
+        ne_a, ne_b = geom.nex, geom.ney
+        d_a, d_b = geom.delta_a, geom.delta_b
+        wrap = (geom.bc_x == "periodic", geom.bc_y == "periodic")
+        fj_sign = 1.0
+    A = ne_a * p
+    B = ne_b * p
+
+    def zf(a):
+        """(1, A, B, nz) -> z-first (nz, 1, A, B), (a, b)-transposed
+        when swapped."""
+        out = np.moveaxis(np.asarray(a, f64), -1, 0)
+        if swap_ab:
+            out = np.swapaxes(out, 2, 3)
+        return jnp.asarray(out, dtype)
+
+    def c2d(a):
+        out = np.asarray(a, f64)
+        if swap_ab:
+            out = np.swapaxes(out, 1, 2)
+        return jnp.asarray(out, dtype)
+
+    def c(a):
+        return jnp.asarray(np.asarray(a, f64), dtype)
+
+    con2d = np.asarray(geom.con2d, f64)
+    cor = np.asarray(geom.coriolis, f64)
+    j2 = np.asarray(geom.jac2d, f64)
+    n2i_stack = np.concatenate([np.asarray(geom.interp_n2i, f64),
+                                np.asarray(geom.diff_n2i, f64)], axis=0)
+    dra = np.asarray(geom.deriv_r, f64)[..., 0]
+    drb = np.asarray(geom.deriv_r, f64)[..., 1]
+    if swap_ab:
+        c2aa, c2bb = con2d[..., 1, 1], con2d[..., 0, 0]
+        c2ab, c2ba = con2d[..., 1, 0], con2d[..., 0, 1]
+        caxi, cbxi = geom.con_b_xi, geom.con_a_xi
+        caxi_i, cbxi_i = geom.con_b_xi_int, geom.con_a_xi_int
+        dra, drb = drb, dra
+    else:
+        c2aa, c2bb = con2d[..., 0, 0], con2d[..., 1, 1]
+        c2ab, c2ba = con2d[..., 0, 1], con2d[..., 1, 0]
+        caxi, cbxi = geom.con_a_xi, geom.con_b_xi
+        caxi_i, cbxi_i = geom.con_a_xi_int, geom.con_b_xi_int
+
+    return FastGeometry(
+        n2i_stack=c(n2i_stack),
+        nz=nz, p=p, ne=ne_a, A=A, B=B, vo=geom.vo,
+        is_xz=bool(geom.is_xz), delta=float(d_a),
+        nu_delta=float(geom.delta_a),
+        reference_length=float(geom.reference_length),
+        npanels=1, wrap=wrap, ab_swapped=bool(swap_ab),
+        xz_zero=(("U" if swap_ab else "V") if geom.is_xz else None),
+        dss_links=(),
+        DA=c(np.kron(np.eye(ne_a), D.T) / d_a),
+        Sd=c(np.kron(np.eye(ne_a), S) / d_a),
+        DA_b=c(np.kron(np.eye(ne_b), D.T) / d_b),
+        Sd_b=c(np.kron(np.eye(ne_b), S) / d_b),
+        DA_elem=D, S_elem=S,
+        interp_n2i=c(geom.interp_n2i), interp_i2n=c(geom.interp_i2n),
+        diff_n2n=c(geom.diff_n2n), diff_n2i=c(geom.diff_n2i),
+        diff_i2n=c(geom.diff_i2n), diff_i2i=c(geom.diff_i2i),
+        diffdiff_i2i=c(geom.diffdiff_i2i),
+        penalty_left=(None if geom.penalty_left is None
+                      else c(geom.penalty_left)),
+        penalty_right=(None if geom.penalty_right is None
+                       else c(geom.penalty_right)),
+        wscat_left=(None if geom.wscat_left is None
+                    else c(geom.wscat_left)),
+        wscat_right=(None if geom.wscat_right is None
+                     else c(geom.wscat_right)),
+        c2_aa=c2d(c2aa), c2_ab=c2d(c2ab),
+        c2_ba=c2d(c2ba), c2_bb=c2d(c2bb),
+        jac2d=c2d(j2), fj=c2d(fj_sign * cor * j2),
+        inv_mult=c2d(geom.inv_mult),
+        jac3d=zf(geom.jac3d), jac3d_int=zf(geom.jac3d_int),
+        con_a_xi=zf(caxi), con_b_xi=zf(cbxi),
+        con_xi_xi=zf(geom.con_xi_xi),
+        con_a_xi_int=zf(caxi_i),
+        con_b_xi_int=zf(cbxi_i),
+        con_xi_xi_int=zf(geom.con_xi_xi_int),
+        area3d=zf(geom.area3d),
+        deriv_r_a=zf(dra),
+        deriv_r_b=zf(drb),
+        deriv_r_xi_int=zf(np.asarray(geom.deriv_r_int, f64)[..., 2]),
+        rayleigh_lev=zf(geom.rayleigh_lev),
+        rayleigh_int=zf(geom.rayleigh_int),
+        # no panel links -> the rotation table is never indexed; a
+        # 1-entry dummy keeps every array dimension nonzero
+        e_rot=c(np.zeros((4, 1, A))),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Horizontal operators (dense (A, A), z-batched)
 # ---------------------------------------------------------------------------
@@ -385,24 +531,30 @@ def apply_dss(d, fg: FastGeometry, rayleigh=None, w_finish=None):
     if w_finish is not None:
         u, v, w = dss_pallas.dss_uvw(d["U"], d["V"], fg.inv_mult,
                                      fg.e_rot, fg.dss_links, fg.p,
-                                     w_finish)
+                                     w_finish, wrap=fg.wrap)
         out = {"U": u, "V": v, "W": w}
-        scalars = ("Rt", "Rho")
     else:
         u, v = dss_pallas.dss_vector(d["U"], d["V"], fg.inv_mult,
-                                     fg.e_rot, fg.dss_links, fg.p)
-        out = {"U": u, "V": v}
-        scalars = ("Rt", "Rho", "W")
-    for k in scalars:
+                                     fg.e_rot, fg.dss_links, fg.p,
+                                     wrap=fg.wrap)
+        out = {"U": u, "V": v,
+               "W": dss_pallas.dss_scalar(d["W"], fg.inv_mult,
+                                          fg.dss_links, fg.p,
+                                          wrap=fg.wrap)}
+    # Rt/Rho stay SEPARATE launches: the merged two-field kernel
+    # (dss_pallas.dss_scalar2) was measured slower in context on v5e
+    # (+0.4 ms/step at ne30 L30 f32, cb 2 and 4 both) — same
+    # pipelining loss as the one-launch dss_state (kept, tested)
+    for k in ("Rt", "Rho"):
         out[k] = dss_pallas.dss_scalar(d[k], fg.inv_mult, fg.dss_links,
-                                       fg.p)
+                                       fg.p, wrap=fg.wrap)
     if rayleigh is not None:
         out = apply_rayleigh(out, *rayleigh)
     if "Tracers" in d:
         # all species in one scalar-kernel launch (flat layout); tracers
         # are never Rayleigh-damped (reference ApplyRayleighFriction)
         out["Tracers"] = dss_pallas.dss_scalar(
-            d["Tracers"], fg.inv_mult, fg.dss_links, fg.p)
+            d["Tracers"], fg.inv_mult, fg.dss_links, fg.p, wrap=fg.wrap)
     return out
 
 
@@ -460,8 +612,16 @@ def horizontal_tendency(d, fg: FastGeometry, constants: PhysicalConstants):
 
     dU = (ucz_a + fj * con_ub
           - (dpi_a * theta + dke_a + constants.g * fg.deriv_r_a))
-    dV = (ucz_b - fj * con_ua
-          - (dpi_b * theta + dke_b + constants.g * fg.deriv_r_b))
+    if fg.xz_zero == "V":
+        # xz slice: no physical-V tendency (nonhydro.horizontal_tendency
+        # is_xz branch); the explicit vertical penalty still applies
+        dV = jnp.zeros_like(v)
+    else:
+        dV = (ucz_b - fj * con_ua
+              - (dpi_b * theta + dke_b + constants.g * fg.deriv_r_b))
+    if fg.xz_zero == "U":
+        # ab-swapped xz: the ENGINE U slot is the physical V
+        dU = jnp.zeros_like(u)
     dRho = -div_rho / fg.jac3d
     dRt = -div_rt / fg.jac3d
 
@@ -567,7 +727,8 @@ def step_after_subcycle(d, dt, cfg: ModelConfig, fg: FastGeometry,
                 {k: out[k] for k in FIELDS}, *rayleigh))
         return out
 
-    scale = (fg.delta / fg.reference_length) ** 3.2 \
+    scale = ((fg.nu_delta if fg.nu_delta is not None else fg.delta)
+             / fg.reference_length) ** 3.2 \
         if cfg.hypervis_order == 4 else 1.0
     nu_s = cfg.nu_scalar * scale
     nu_d = cfg.nu_div * scale
@@ -638,10 +799,24 @@ def step_after_subcycle(d, dt, cfg: ModelConfig, fg: FastGeometry,
 # ---------------------------------------------------------------------------
 
 def fast_engine_supported(cfg: ModelConfig, has_tracers: bool = False,
-                          mesh=None) -> bool:
-    """The configurations the z-first engine covers."""
+                          mesh=None, geom=None) -> bool:
+    """The configurations the z-first engine covers.
+
+    Grids: the cubed sphere (with optional device mesh), and the
+    Cartesian grids (xz slice / 3-D plane) with PERIODIC lateral BCs —
+    pass ``geom`` so the boundary conditions can be checked; no-flux
+    configs keep the reference-layout engine (lagged-halo shadow state).
+    """
     from ..config import TimestepSchemeType
-    ok = (cfg.grid_kind == GridKind.CUBED_SPHERE
+    if cfg.grid_kind == GridKind.CUBED_SPHERE:
+        grid_ok = True
+    elif cfg.grid_kind in (GridKind.CARTESIAN_XZ, GridKind.CARTESIAN_3D):
+        grid_ok = (geom is not None and mesh is None
+                   and getattr(geom, "bc_x", None) == "periodic"
+                   and getattr(geom, "bc_y", None) == "periodic")
+    else:
+        grid_ok = False
+    ok = (grid_ok
           and cfg.vertical_staggering == VerticalStaggering.LORENZ
           and cfg.timescheme == TimestepSchemeType.STRANG
           and not cfg.explicit_vertical
@@ -660,25 +835,36 @@ def fast_engine_supported(cfg: ModelConfig, has_tracers: bool = False,
     return ok
 
 
-def _rayleigh_terms(cfg: ModelConfig, geom, ref_state):
+def _rayleigh_terms(cfg: ModelConfig, geom, ref_state, fg=None):
     """(fac, ref_term) z-first damping tensors, or None (host precompute;
-    the reference's 10-cycle implicit Rayleigh factor)."""
+    the reference's 10-cycle implicit Rayleigh factor).  ``fg``: the
+    engine geometry — drives the xz V exemption (the engine slot named
+    by ``fg.xz_zero`` holds the physical V, never damped) and the
+    (a, b)-transposed layout of swapped Cartesian engines."""
     if not (cfg.rayleigh_damping and ref_state is not None):
         return None
     n_cycles = 10
     dt = cfg.dt
+    swapped = fg is not None and fg.ab_swapped
+    xz_zero = fg.xz_zero if fg is not None else None
 
     def fac_of(r):
-        return (1.0 / (1.0 + dt * np.asarray(r, np.float64)
-                       / n_cycles)) ** n_cycles
+        f = (1.0 / (1.0 + dt * np.asarray(r, np.float64)
+                    / n_cycles)) ** n_cycles
+        f = np.moveaxis(f, -1, 0)
+        return np.swapaxes(f, 2, 3) if swapped else f
 
-    fac_lev = np.moveaxis(fac_of(geom.rayleigh_lev), -1, 0)
-    fac_int = np.moveaxis(fac_of(geom.rayleigh_int), -1, 0)
+    fac_lev = fac_of(geom.rayleigh_lev)
+    fac_int = fac_of(geom.rayleigh_int)
     fac = {"U": fac_lev, "V": fac_lev, "Rt": fac_lev,
            "Rho": np.ones_like(fac_lev), "W": fac_int}
+    if xz_zero is not None:
+        fac[xz_zero] = np.ones_like(fac_lev)   # physical V: never damped
     fac = {k: jnp.asarray(v, cfg.dtype) for k, v in fac.items()}
     ref_zf = pack_state({k: jnp.asarray(np.asarray(v), cfg.dtype)
                          for k, v in ref_state.items()})
+    if swapped:
+        ref_zf = _swap_ab_state(ref_zf)
     ref_term = tree_map(lambda f, r: (1.0 - f) * r, fac, ref_zf)
     return (fac, ref_term)
 
@@ -820,12 +1006,15 @@ def make_fast_step(cfg: ModelConfig, geom: CubedSphereGeometry,
     from . import implicit as fimp
 
     constants = cfg.constants
-    fg = build_fast_geometry(geom, dtype=cfg.dtype)
+    if hasattr(geom, "nex"):          # CartesianGeometry
+        fg = build_fast_geometry_cartesian(geom, dtype=cfg.dtype)
+    else:
+        fg = build_fast_geometry(geom, dtype=cfg.dtype)
 
     q = nonhydro.estimate_bandwidth(geom, constants)
     statics = nonhydro.band_assembly_statics(geom, q)
     use_pallas = cfg.vertical_solver == "pallas"
-    rayleigh = _rayleigh_terms(cfg, geom, ref_state)
+    rayleigh = _rayleigh_terms(cfg, geom, ref_state, fg=fg)
     use_fused_stage = (fg.vo == 1 and fg.A % 8 == 0 and fg.p <= 8
                        and 8 % fg.p == 0)
     # fold the W stage finish into the (U, V) DSS launch when the
@@ -857,6 +1046,21 @@ def make_fast_step(cfg: ModelConfig, geom: CubedSphereGeometry,
             d, fg, rayleigh, w_finish),
         implicit_fn, use_fused_stage, use_fused_hyper,
         use_wfold=use_wfold)
+    if fg.ab_swapped:
+        # the engine runs (a, b)-transposed with U/V relabeled; the
+        # public step signature keeps the natural packed layout — swap
+        # at the boundary (the carry stays in engine layout, opaque to
+        # callers).  See _swap_ab_state.
+        inner_first, inner_step = first_fn, step_fn
+
+        def first_fn(d):
+            s, c = inner_first(_swap_ab_state(d))
+            return _swap_ab_state(s), c
+
+        def step_fn(d, carry):
+            s, c = inner_step(_swap_ab_state(d), carry)
+            return _swap_ab_state(s), c
+
     return jax.jit(first_fn), jax.jit(step_fn)
 
 

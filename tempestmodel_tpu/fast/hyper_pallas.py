@@ -143,7 +143,7 @@ def _pass2_kernel(p, delta, D, S, nu_s, nu_d, nu_v, dt,
 
 def _call(kern_fn, fg, field_in, n_out, shapes, dtype, ac, interpret):
     A, B = fg.A, fg.B
-    grid = (6, A // ac)
+    grid = (fg.npanels, A // ac)
 
     def spec(K):
         return pl.BlockSpec((K, 1, ac, B), lambda ip, ia: (0, ip, ia, 0),

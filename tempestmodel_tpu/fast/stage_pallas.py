@@ -59,7 +59,7 @@ def _da(x, M, delta, p):
     return jnp.concatenate(pieces, axis=1)
 
 
-def _kernel(nz, p, delta, D, S, g, two_base, use_sep, refs):
+def _kernel(nz, p, delta, D, S, g, two_base, use_sep, xz_zero, refs):
     if use_sep:
         (u_ref, v_ref, rt_ref, rho_ref, wn_ref, duxi_ref, dvxi_ref,
          bu_ref, bv_ref, brt_ref, brho_ref,
@@ -156,13 +156,20 @@ def _kernel(nz, p, delta, D, S, g, two_base, use_sep, refs):
 
     theta = rt / rho
 
-    dU = (ucz_a + fj * con_ub - (dpi_a * theta + dke_a + grav * dra))
-    dV = (ucz_b - fj * con_ua - (dpi_b * theta + dke_b + grav * drb))
+    if xz_zero == "U":
+        # ab-swapped xz: engine U = physical V, no tendency
+        dU = rd(pu_ref)
+    else:
+        dU = (ucz_a + fj * con_ub
+              - (dpi_a * theta + dke_a + grav * dra)) + rd(pu_ref)
+    if xz_zero == "V":
+        # xz slice: no V tendency; the penalty increment still applies
+        dV = rd(pv_ref)
+    else:
+        dV = (ucz_b - fj * con_ua
+              - (dpi_b * theta + dke_b + grav * drb)) + rd(pv_ref)
     dRho = -div_rho / jac
     dRt = -div_rt / jac
-
-    dU = dU + rd(pu_ref)
-    dV = dV + rd(pv_ref)
 
     def wr_out(ref, val):
         K, ac, B = val.shape
@@ -201,7 +208,7 @@ def fused_stage(base, ueval, dt_s, fg, constants, ac: int = 8,
     A, B = fg.A, fg.B
     dtype = base1["U"].dtype
     assert A % ac == 0 and ac % p == 0
-    grid = (6, A // ac)
+    grid = (fg.npanels, A // ac)
 
     npdt = np.float64 if dtype == jnp.float64 else np.float32
     D = np.asarray(fg.DA_elem, npdt)
@@ -283,7 +290,7 @@ def fused_stage(base, ueval, dt_s, fg, constants, ac: int = 8,
     g = (float(constants.Cp), float(constants.Rd), float(constants.P0),
          float(constants.g))
     kern = lambda *refs: _kernel(nz, p, delta, D, S, g, two_base,
-                                 use_sep, refs)
+                                 use_sep, fg.xz_zero, refs)
 
     shp_n = u.shape
     out_u, out_v, out_rt, out_rho, ucz_x = pl.pallas_call(

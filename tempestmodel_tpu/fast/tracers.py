@@ -215,7 +215,7 @@ def filter_horizontal(tr, fg: FastGeometry):
     area = _tile_levels(fg.area3d, ntr)
 
     def split(f):
-        return f.reshape(K, 6, ne_a, fg.p, ne_b, fg.p)
+        return f.reshape(K, fg.npanels, ne_a, fg.p, ne_b, fg.p)
 
     t_e = split(tr)
     a_e = split(area)

@@ -149,7 +149,8 @@ class Model:
                 use_fast = (cfg.fuse_pallas
                             and fast_engine_supported(cfg,
                                                       has_tracers=has_tr,
-                                                      mesh=mesh))
+                                                      mesh=mesh,
+                                                      geom=self.geom))
                 if use_fast:
                     # z-first Pallas engine (fast/): same step semantics,
                     # ~4x the reference-layout engine on TPU (docs/PERF.md);

@@ -49,6 +49,48 @@ def test_dss_vector_matches_reference_formulation():
                                np.asarray(wv), rtol=0, atol=1e-13)
 
 
+def test_dss_scalar2_two_field_variant():
+    """dss_scalar2 == two dss_scalar launches bitwise (kept as a
+    documented measured-negative launch-merge variant)."""
+    _, fg, d = _setup()
+    a, b = dss_pallas.dss_scalar2(d["Rt"], d["Rho"], fg.inv_mult,
+                                  fg.dss_links, fg.p)
+    np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(dss_pallas.dss_scalar(
+            d["Rt"], fg.inv_mult, fg.dss_links, fg.p)))
+    np.testing.assert_array_equal(
+        np.asarray(b), np.asarray(dss_pallas.dss_scalar(
+            d["Rho"], fg.inv_mult, fg.dss_links, fg.p)))
+
+
+def test_dss_uvw_w_finish_fold():
+    """dss_uvw == dss_vector + XLA W finish + dss_scalar(W)."""
+    _, fg, d = _setup()
+    rng = np.random.default_rng(5)
+    nz1 = d["W"].shape[0]
+    shp = d["W"].shape
+    wf = {
+        "bw1": jnp.asarray(rng.standard_normal(shp)),
+        "bw2": jnp.asarray(rng.standard_normal(shp)),
+        "cb1": 0.3, "cb2": 0.7, "dt_s": 12.5,
+        "dW": jnp.asarray(rng.standard_normal(shp)),
+        "cax0": fg.con_a_xi_int[0], "cbx0": fg.con_b_xi_int[0],
+        "cxx0": fg.con_xi_xi_int[0],
+        "c00": float(np.asarray(fg.interp_n2i)[0, 0]),
+        "c01": float(np.asarray(fg.interp_n2i)[0, 1]),
+    }
+    u, v, w = dss_pallas.dss_uvw(d["U"], d["V"], fg.inv_mult, fg.e_rot,
+                                 fg.dss_links, fg.p, wf)
+    uw, vw = dss_pallas.dss_vector(d["U"], d["V"], fg.inv_mult, fg.e_rot,
+                                   fg.dss_links, fg.p)
+    w_pre = engine.w_finish_xla(d, wf)
+    ww = dss_pallas.dss_scalar(w_pre, fg.inv_mult, fg.dss_links, fg.p)
+    np.testing.assert_array_equal(np.asarray(u), np.asarray(uw))
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(vw))
+    np.testing.assert_allclose(np.asarray(w), np.asarray(ww),
+                               rtol=0, atol=1e-13)
+
+
 def test_dss_state_one_launch_variant():
     """dss_state == the 4-launch apply_dss bitwise, with and without the
     fused Rayleigh finish."""
