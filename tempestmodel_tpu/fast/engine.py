@@ -897,6 +897,8 @@ def _strang_fns(cfg: ModelConfig, fg: FastGeometry, rayleigh, dss_fn,
         has_tr = "Tracers" in ueval
         wfin = None
         if use_fused_stage:
+            # tracers are advected INSIDE the stage kernel (they ride
+            # the same in-VMEM fluxes as Rho)
             from .stage_pallas import fused_stage
             if use_wfold:
                 upd, wfin = fused_stage(base, ueval, dt_s, fg, constants,
@@ -908,12 +910,13 @@ def _strang_fns(cfg: ModelConfig, fg: FastGeometry, rayleigh, dss_fn,
             tend = horizontal_tendency(ueval, fg, constants)
             upd = axpy({k: bb[k] for k in FIELDS}, tend, dt_s)
             upd = apply_w_boundary(upd, fg)
-        if has_tr:
-            from . import tracers as ftr
-            base_tr = (tuple((c, b["Tracers"]) for c, b in base)
-                       if isinstance(base, tuple) else base["Tracers"])
-            upd["Tracers"] = ftr.horizontal_update(
-                base_tr, ueval, dt_s, fg)
+            if has_tr:
+                from . import tracers as ftr
+                base_tr = (tuple((c, b["Tracers"]) for c, b in base)
+                           if isinstance(base, tuple)
+                           else base["Tracers"])
+                upd["Tracers"] = ftr.horizontal_update(
+                    base_tr, ueval, dt_s, fg)
         return dss_fn(upd, w_finish=wfin)
 
     def erk(X0):
@@ -1228,3 +1231,127 @@ def make_fast_multistep(cfg: ModelConfig, geom: CubedSphereGeometry,
         return s, c
 
     return first_step, multi
+
+# ---------------------------------------------------------------------------
+# IMEX-ARK family on the z-first engine
+# ---------------------------------------------------------------------------
+
+IMEX_SCHEMES = ("ars222", "ars232", "ark232", "gark2", "ars343",
+                "ars343b", "ars443", "ssp3332")
+
+
+def fast_imex_supported(cfg: ModelConfig, has_tracers: bool = False,
+                        geom=None) -> bool:
+    """Whether the IMEX-ARK family can run on the z-first engine: same
+    envelope as the Strang fast engine (grid/staggering/solver), any
+    ``_tableaux`` scheme or GARK2, single device, no tracers (the IMEX
+    drivers carry tendencies as full state trees; the reference
+    registers IMEX without tracer transport either,
+    ``TempestInitialize.h:192-291``)."""
+    from ..config import TimestepSchemeType
+    if cfg.timescheme.value not in IMEX_SCHEMES or has_tracers:
+        return False
+    return fast_engine_supported(
+        cfg.with_(timescheme=TimestepSchemeType.STRANG), geom=geom)
+
+
+def make_fast_imex_step(cfg: ModelConfig, geom, ref_state=None):
+    """Jitted IMEX-ARK step on the z-first engine: z-last state ->
+    z-last state (drop-in for ``nh_model.make_nh_imex_step``, single
+    device).  Reuses the z-first tendency (with the penalty upwinding
+    folded), the Pallas DSS, the fused Pallas implicit and the nu4
+    tail; stage combinations follow ``timestep/imex.py`` exactly
+    (reference ``TimestepSchemeARS343.cpp`` etc).  The pack/unpack
+    transposes at the step boundary cost ~2% of the step."""
+    import math as _math
+    from . import implicit as fimp
+    from ..timestep.imex import _tableaux
+    from ..config import TimestepSchemeType
+
+    constants = cfg.constants
+    dt = cfg.dt
+    if hasattr(geom, "nex"):
+        fg = build_fast_geometry_cartesian(geom, dtype=cfg.dtype)
+    else:
+        fg = build_fast_geometry(geom, dtype=cfg.dtype)
+    q = nonhydro.estimate_bandwidth(geom, constants)
+    statics = nonhydro.band_assembly_statics(geom, q)
+    use_pallas = cfg.vertical_solver == "pallas"
+    rayleigh = _rayleigh_terms(cfg, geom, ref_state, fg=fg)
+    saux = fimp.static_aux(fg)
+    from . import hyper_pallas
+    use_fused_hyper = hyper_pallas.supported(fg, cfg)
+
+    def tend(u):
+        return horizontal_tendency(u, fg, constants)
+
+    def post(u):
+        return apply_dss(apply_w_boundary(u, fg), fg)
+
+    def implicit(u, dti):
+        return fimp.vertical_implicit(
+            u, fg, constants, dti, q, statics,
+            newton_iters=cfg.newton_iterations, use_pallas=use_pallas,
+            ref_jacobian=(cfg.jacobian_mode == "reference"), saux=saux)
+
+    def tail(u):
+        return step_after_subcycle(u, dt, cfg, fg, rayleigh=rayleigh,
+                                   use_fused_hyper=use_fused_hyper)
+
+    def axpy(b, t, c):
+        return tree_map(lambda x, y: x + c * y, b, t)
+
+    if cfg.timescheme == TimestepSchemeType.GARK2:
+        g = 1.0 - 0.5 * _math.sqrt(2.0)
+        al = 0.5
+
+        def body(u0):
+            F0 = tend(u0)
+            uf1 = post(axpy(u0, F0, g * dt))
+            u1 = implicit(uf1, g * dt)
+            G1 = tree_map(lambda a, b: (a - b) / (g * dt), u1, uf1)
+            uf2 = post(axpy(axpy(u0, F0, dt), G1, dt))
+            F1 = tend(uf2)
+            z2 = axpy(axpy(axpy(u0, F0, al * dt), G1, (1.0 - g) * dt),
+                      F1, (1.0 - al) * dt)
+            z2 = post(z2)
+            u2 = implicit(z2, g * dt)
+            return tail(u2)
+    else:
+        aexp, aimp = _tableaux(cfg.timescheme)
+        s = len(aexp)
+
+        def body(u0):
+            u = u0
+            F = []
+            G = []
+            for i in range(s):
+                F.append(tend(u))
+                uf = u0
+                for j in range(i + 1):
+                    if aexp[i][j] != 0.0:
+                        uf = axpy(uf, F[j], aexp[i][j] * dt)
+                for j in range(i):
+                    if aimp[i][j] != 0.0:
+                        uf = axpy(uf, G[j], aimp[i][j] * dt)
+                uf = post(uf)
+                if aimp[i][i] != 0.0:
+                    u = implicit(uf, aimp[i][i] * dt)
+                    G.append(tree_map(
+                        lambda a, b: (a - b) / (aimp[i][i] * dt), u, uf))
+                else:
+                    u = uf
+                    G.append(tree_map(lambda a: a * 0.0, uf))
+            return tail(u)
+
+    @jax.jit
+    def step(state):
+        d = pack_state(state)
+        if fg.ab_swapped:
+            d = _swap_ab_state(d)
+        out = body(d)
+        if fg.ab_swapped:
+            out = _swap_ab_state(out)
+        return unpack_state(out)
+
+    return step

@@ -125,6 +125,27 @@ def build_edge_routing(edge_meta, mx: int, my: int, A: int):
     return local, rounds
 
 
+def expected_exchange_bytes(edge_meta, mx: int, my: int, A: int,
+                            ktot: int, itemsize: int) -> int:
+    """EXACT collective-permute bytes of ONE inline-schedule DSS call
+    (the per-shard HLO operand bytes, matching what
+    ``parallel.analyze.collective_report`` tallies): 2 cross-pair line
+    ppermutes per partitioned axis plus one (ktot, L_round) ppermute per
+    routed edge round.  Lets tests pin the exchange volume to the exact
+    static routing instead of a loose bound."""
+    _, rounds = build_edge_routing(edge_meta, mx, my, A)
+    a, b = A // mx, A // my
+    total = 0
+    if mx > 1:
+        total += 2 * ktot * 6 * b * itemsize
+    if my > 1:
+        total += 2 * ktot * 6 * a * itemsize
+    for rnd in rounds:
+        L = max(sum(m.src_hi - m.src_lo for m in ms) for _, ms in rnd)
+        total += ktot * L * itemsize
+    return total
+
+
 def routing_stats(edge_meta, mx: int, my: int, A: int):
     """(n_rounds, n_messages, line_units_moved) — for analyze/docs.
 

@@ -59,20 +59,27 @@ def _da(x, M, delta, p):
     return jnp.concatenate(pieces, axis=1)
 
 
-def _kernel(nz, p, delta, D, S, g, two_base, use_sep, xz_zero, refs):
+def _kernel(nz, p, delta, D, S, g, two_base, use_sep, xz_zero, ntr,
+            refs):
+    n_out = 6 if ntr else 5
+    ins, outs = refs[:-n_out], refs[-n_out:]
+    if ntr:
+        # tracer inputs sit right after the 17 base field inputs
+        tr_ref, btr1_ref, btr2_ref = ins[17:20]
+        ins = ins[:17] + ins[20:]
+        otr_ref = outs[5]
+    ou_ref, ov_ref, ort_ref, orho_ref, oucz_ref = outs[:5]
     if use_sep:
         (u_ref, v_ref, rt_ref, rho_ref, wn_ref, duxi_ref, dvxi_ref,
          bu_ref, bv_ref, brt_ref, brho_ref,
          b2u_ref, b2v_ref, b2rt_ref, b2rho_ref, pu_ref, pv_ref,
-         m2d_ref, s_ref, SdT_ref, DAT_ref, dts_ref,
-         ou_ref, ov_ref, ort_ref, orho_ref, oucz_ref) = refs
+         m2d_ref, s_ref, SdT_ref, DAT_ref, dts_ref) = ins
     else:
         (u_ref, v_ref, rt_ref, rho_ref, wn_ref, duxi_ref, dvxi_ref,
          bu_ref, bv_ref, brt_ref, brho_ref,
          b2u_ref, b2v_ref, b2rt_ref, b2rho_ref, pu_ref, pv_ref,
          caxi_ref, cbxi_ref, cxixi_ref, jac_ref, dra_ref, drb_ref,
-         m2d_ref, SdT_ref, DAT_ref, dts_ref,
-         ou_ref, ov_ref, ort_ref, orho_ref, oucz_ref) = refs
+         m2d_ref, SdT_ref, DAT_ref, dts_ref) = ins
 
     def rd(ref):
         x = ref[...]
@@ -181,6 +188,23 @@ def _kernel(nz, p, delta, D, S, g, two_base, use_sep, xz_zero, refs):
     wr_out(orho_ref, base(brho_ref, b2rho_ref) + dt_s * dRho)
     wr_out(oucz_ref, ucz_x)
 
+    if ntr:
+        # tracer advection rides the SAME in-VMEM fluxes as Rho (the
+        # reference treats tracers as extra continuity components,
+        # HorizontalDynamicsFEM.cpp:1546-1610); the flat species-major
+        # block is processed per species so no species-tiled metric
+        # tensors ever exist
+        trs = rd(tr_ref)                         # (ntr*nz, ac, B)
+        btr = base(btr1_ref, btr2_ref)
+        pieces = []
+        for s_i in range(ntr):
+            t = trs[s_i * nz:(s_i + 1) * nz]
+            div_t = -(_da(base_a * t, S.T, delta, p)
+                      + _db(base_b * t, SdT))
+            pieces.append(btr[s_i * nz:(s_i + 1) * nz]
+                          + dt_s * (-div_t / jac))
+        wr_out(otr_ref, jnp.concatenate(pieces, axis=0))
+
 
 def fused_stage(base, ueval, dt_s, fg, constants, ac: int = 8,
                 interpret=None, defer_w: bool = False):
@@ -282,24 +306,42 @@ def fused_stage(base, ueval, dt_s, fg, constants, ac: int = 8,
                      fg.jac3d, fg.deriv_r_a, fg.deriv_r_b, m2d]
         small_in = [SdT, DAT]
 
-    in_specs = ([spec(a.shape[0]) for a in field_in]
+    def build_in_specs():
+        return ([spec(a.shape[0]) for a in field_in]
                 + [whole(a) for a in small_in]
                 + [pl.BlockSpec((1, 3), lambda ip, ia: (0, 0),
                                 memory_space=pltpu.SMEM)])
 
     g = (float(constants.Cp), float(constants.Rd), float(constants.P0),
          float(constants.g))
+    ntr = 0
+    if "Tracers" in ueval:
+        ntr = ueval["Tracers"].shape[0] // nz
+        btr1 = base1.get("Tracers", ueval["Tracers"])
+        btr2 = base2.get("Tracers", btr1)
+        field_in = field_in[:17] + [ueval["Tracers"], btr1, btr2] \
+            + field_in[17:]
+    in_specs = build_in_specs()
     kern = lambda *refs: _kernel(nz, p, delta, D, S, g, two_base,
-                                 use_sep, fg.xz_zero, refs)
+                                 use_sep, fg.xz_zero, ntr, refs)
 
     shp_n = u.shape
-    out_u, out_v, out_rt, out_rho, ucz_x = pl.pallas_call(
+    out_specs = tuple(spec(nz) for _ in range(5))
+    out_shape = tuple(jax.ShapeDtypeStruct(shp_n, dtype)
+                      for _ in range(5))
+    if ntr:
+        out_specs = out_specs + (spec(ntr * nz),)
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct((ntr * nz,) + shp_n[1:], dtype),)
+    outs = pl.pallas_call(
         kern, grid=grid, in_specs=in_specs,
-        out_specs=tuple(spec(nz) for _ in range(5)),
-        out_shape=tuple(jax.ShapeDtypeStruct(shp_n, dtype)
-                        for _ in range(5)),
+        out_specs=out_specs, out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*field_in, *small_in, dts)
+    out_u, out_v, out_rt, out_rho, ucz_x = outs[:5]
+    out_tr = outs[5] if ntr else None
 
     if defer_w:
         Imat = np.asarray(fg.interp_n2i)
@@ -312,8 +354,10 @@ def fused_stage(base, ueval, dt_s, fg, constants, ac: int = 8,
             "cxx0": fg.con_xi_xi_int[0],
             "c00": float(Imat[0, 0]), "c01": float(Imat[0, 1]),
         }
-        return ({"U": out_u, "V": out_v, "Rt": out_rt,
-                 "Rho": out_rho}, w_finish)
+        out = {"U": out_u, "V": out_v, "Rt": out_rt, "Rho": out_rho}
+        if ntr:
+            out["Tracers"] = out_tr
+        return (out, w_finish)
 
     # --- XLA post-pass: W update + diagnostic bottom boundary ---------
     dW = colop(fg.interp_n2i, ucz_x)
@@ -327,5 +371,8 @@ def fused_stage(base, ueval, dt_s, fg, constants, ac: int = 8,
         / fg.con_xi_xi_int[0]
     out_w = out_w.at[0].set(w0)
 
-    return {"U": out_u, "V": out_v, "Rt": out_rt, "Rho": out_rho,
-            "W": out_w}
+    out = {"U": out_u, "V": out_v, "Rt": out_rt, "Rho": out_rho,
+           "W": out_w}
+    if ntr:
+        out["Tracers"] = out_tr
+    return out

@@ -170,8 +170,20 @@ class Model:
                         mesh=mesh)
                 self._imex_step = None
             else:
-                self._imex_step = nh_model.make_nh_imex_step(
-                    cfg, self.geom, ref_state=self.reference, mesh=mesh)
+                from .fast.engine import fast_imex_supported
+                has_tr = (self.state is not None
+                          and "Tracers" in self.state)
+                if (cfg.fuse_pallas and mesh is None
+                        and fast_imex_supported(cfg, has_tracers=has_tr,
+                                                geom=self.geom)):
+                    # IMEX-ARK family on the z-first engine (round 5)
+                    from .fast.engine import make_fast_imex_step
+                    self._imex_step = make_fast_imex_step(
+                        cfg, self.geom, ref_state=self.reference)
+                else:
+                    self._imex_step = nh_model.make_nh_imex_step(
+                        cfg, self.geom, ref_state=self.reference,
+                        mesh=mesh)
 
         if mesh is not None and self.state is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P

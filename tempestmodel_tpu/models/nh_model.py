@@ -96,7 +96,7 @@ def make_sphere_dss(geom, mesh=None) -> Callable:
     (``TransformHaloVelocities``); Rt/W/Rho/tracers are scalars.
 
     ``mesh``: optional jax.sharding.Mesh — use the explicit
-    shard_map + ppermute/psum edge-exchange DSS
+    shard_map + routed-ppermute edge-exchange DSS
     (``parallel/dss_shardmap``) instead of GSPMD auto-partitioning.
     """
     if mesh is not None:

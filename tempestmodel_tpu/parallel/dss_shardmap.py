@@ -11,12 +11,15 @@ equivalent with explicitly chosen collectives:
 - **interior element-boundary pair sums** that straddle shard boundaries
   are one width-1 line ``ppermute`` per direction per axis (the exact
   analog of the reference's face halo exchange over ICI);
-- **panel-edge exchange** packs the 24 (panel, edge) lines into one
-  (24, A) surface tensor and replicates it with a single ``psum`` over
-  the mesh — O(24*A*nz) bytes instead of O(6*A^2*nz); flips and the
-  inter-panel covariant vector rotations (``TransformHaloVelocities``,
-  ``GridPatchCSGLL.cpp:1783``) are applied locally on the replicated
-  tensor, so no reversal ever crosses a shard.
+- **panel-edge exchange** is routed POINT-TO-POINT (round 5): the same
+  statically-colored ppermute rounds as the fast engine
+  (``fast.mesh_dss.build_edge_routing``) deliver to each device exactly
+  the line segments its panel-edge nodes need — O(surface/n) bytes and
+  ZERO all-reduces, superseding the round-2 (24, A) psum that
+  replicated every edge line mesh-wide; flips and the inter-panel
+  covariant vector rotations (``TransformHaloVelocities``,
+  ``GridPatchCSGLL.cpp:1783``) are applied in destination order on the
+  received segments, so no reversal ever crosses a shard.
 
 The arithmetic (slicing order, add order over ``edge_meta``) matches
 ``parallel/dss.py`` exactly, so sharded and single-device results agree
@@ -131,79 +134,89 @@ def _extend_shape(x, ref_ndim, lead):
 # cubed-sphere DSS
 # ---------------------------------------------------------------------------
 
-def _edge_segment(s, edge: int):
-    """Local segment of a panel edge line for one panel index: returns a
-    (lenloc, ...) slice of the local block."""
-    if edge == EDGE_LEFT:
-        return s[:, 0, :]          # (np, b, ...) caller indexes panel
-    raise AssertionError
+def _local_edge_lines(s):
+    """{(pa, e): (1, L_loc, ...)} boundary segments of the local block
+    (leading payload axis for multi-field stacking)."""
+    lines = {}
+    for pa in range(6):
+        lines[(pa, EDGE_LEFT)] = s[pa, 0, :][None]
+        lines[(pa, EDGE_RIGHT)] = s[pa, -1, :][None]
+        lines[(pa, EDGE_BOTTOM)] = s[pa, :, 0][None]
+        lines[(pa, EDGE_TOP)] = s[pa, :, -1][None]
+    return lines
 
 
-def _pack_edges(s, mx, my, a, b, A):
-    """(24, A, ...) global edge-line tensor via one psum over the mesh.
-
-    Edge k = 4 * panel + edge, built from the pair-summed local block
-    ``s`` of shape (6, a, b, ...).
-    """
+def _routed_edge_contribs(lines, rounds, local_msgs, edge_meta, my):
+    """Point-to-point routed exchange of the panel-edge lines (z-last
+    layout analog of ``fast.mesh_dss._edge_contribs``): one ppermute per
+    statically-colored round, each device receiving exactly the line
+    segments its own panel-edge nodes need.  Supersedes the (24, A)
+    ``psum`` that replicated every edge line mesh-wide (round-4 VERDICT
+    missing #5).  Returns [(Msg, (C, seg_len, ...))]."""
     x_idx = lax.axis_index("x")
     y_idx = lax.axis_index("y")
-    trailing = s.shape[3:]
-    dtype = s.dtype
+    ref = next(iter(lines.values()))
+    C = ref.shape[0]
+    trailing = ref.shape[2:]
+    dtype = ref.dtype
 
-    def one_edge(pa, e):
-        line = jnp.zeros((A,) + trailing, dtype)
-        if e == EDGE_LEFT:
-            seg, own, off = s[pa, 0, :], x_idx == 0, y_idx * b
-        elif e == EDGE_RIGHT:
-            seg, own, off = s[pa, -1, :], x_idx == mx - 1, y_idx * b
-        elif e == EDGE_BOTTOM:
-            seg, own, off = s[pa, :, 0], y_idx == 0, x_idx * a
-        else:
-            seg, own, off = s[pa, :, -1], y_idx == my - 1, x_idx * a
-        seg = jnp.where(_extend_shape(jnp.asarray(own), seg.ndim, 0),
-                        seg, jnp.zeros_like(seg))
-        zero = jnp.zeros((), jnp.int32)
-        start = (off.astype(jnp.int32),) + (zero,) * len(trailing)
-        return lax.dynamic_update_slice(line, seg, start)
+    def _is_dev(dev):
+        return (x_idx == dev[0]) & (y_idx == dev[1])
 
-    edges = jnp.stack([one_edge(pa, e)
-                       for pa in range(6) for e in range(4)])
-    return lax.psum(edges, ("x", "y"))
+    def _lin(dev):
+        return dev[0] * my + dev[1]
+
+    contribs = []
+    for rnd in rounds:
+        L = max(sum(m.src_hi - m.src_lo for m in ms) for _, ms in rnd)
+        buf = jnp.zeros((C, L) + trailing, dtype)
+        for key, ms in rnd:
+            parts = []
+            for m in ms:
+                qa, qe = edge_meta[m.link][2], edge_meta[m.link][3]
+                parts.append(lines[(qa, qe)][:, m.src_lo:m.src_hi])
+            payload = jnp.concatenate(parts, axis=1)
+            if payload.shape[1] < L:
+                pad = [(0, 0)] * payload.ndim
+                pad[1] = (0, L - payload.shape[1])
+                payload = jnp.pad(payload, pad)
+            buf = jnp.where(_is_dev(key[0]), payload, buf)
+        perm = [(_lin(key[0]), _lin(key[1])) for key, _ in rnd]
+        recv = lax.ppermute(buf, ("x", "y"), perm)
+        for key, ms in rnd:
+            off = 0
+            for m in ms:
+                ln = m.src_hi - m.src_lo
+                contribs.append((m, recv[:, off:off + ln]))
+                off += ln
+    for m in local_msgs:
+        qa, qe = edge_meta[m.link][2], edge_meta[m.link][3]
+        contribs.append((m, lines[(qa, qe)][:, m.src_lo:m.src_hi]))
+    return contribs
 
 
-def _add_edge_local(out, pa, e, line, mx, my, a, b):
-    """Add the local segment of a global edge line to the block boundary."""
+def _add_seg_local(out, pa, e, lo, hi, seg, dst):
+    """Accumulate a destination-order segment onto the block boundary at
+    STATIC positions [lo:hi), masked to the destination device."""
     x_idx = lax.axis_index("x")
     y_idx = lax.axis_index("y")
-    trailing = out.shape[3:]
-    if e in (EDGE_LEFT, EDGE_RIGHT):
-        own = (x_idx == 0) if e == EDGE_LEFT else (x_idx == mx - 1)
-        off = y_idx * b
-        zero = jnp.zeros((), jnp.int32)
-        seg = lax.dynamic_slice(
-            line, (off.astype(jnp.int32),) + (zero,) * len(trailing),
-            (b,) + trailing)
-        seg = jnp.where(_extend_shape(jnp.asarray(own), seg.ndim, 0),
-                        seg, jnp.zeros_like(seg))
-        col = 0 if e == EDGE_LEFT else -1
-        return out.at[pa, col, :].add(seg)
-    own = (y_idx == 0) if e == EDGE_BOTTOM else (y_idx == my - 1)
-    off = x_idx * a
-    zero = jnp.zeros((), jnp.int32)
-    seg = lax.dynamic_slice(
-        line, (off.astype(jnp.int32),) + (zero,) * len(trailing),
-        (a,) + trailing)
-    seg = jnp.where(_extend_shape(jnp.asarray(own), seg.ndim, 0),
+    seg = jnp.where((x_idx == dst[0]) & (y_idx == dst[1]),
                     seg, jnp.zeros_like(seg))
-    row = 0 if e == EDGE_BOTTOM else -1
-    return out.at[pa, :, row].add(seg)
+    if e == EDGE_LEFT:
+        return out.at[pa, 0, lo:hi].add(seg)
+    if e == EDGE_RIGHT:
+        return out.at[pa, -1, lo:hi].add(seg)
+    if e == EDGE_BOTTOM:
+        return out.at[pa, lo:hi, 0].add(seg)
+    return out.at[pa, lo:hi, -1].add(seg)
 
 
 def make_sphere_dss_shardmap(geom: CubedSphereGeometry, mesh: Mesh):
     """(dss_scalar, dss_vector) with explicit collectives over ``mesh``.
 
     Drop-in replacements for ``parallel.dss.apply_dss_scalar/vector``
-    (same math, explicit ppermute/psum communication).
+    (same math, explicit point-to-point ppermute communication —
+    zero all-reduces since round 5).
     """
     ne, p = geom.ne, geom.p
     A = ne * p
@@ -216,43 +229,66 @@ def make_sphere_dss_shardmap(geom: CubedSphereGeometry, mesh: Mesh):
     spec = P(None, "x", "y")
 
     inv_mult = geom.inv_mult
-    edge_mats = geom.edge_mats
     edge_meta = geom.edge_meta
-    edge_index = {(pa, e): 4 * pa + e for pa in range(6) for e in range(4)}
+    from ..fast.mesh_dss import build_edge_routing
+    local_msgs, rounds = build_edge_routing(edge_meta, mx, my, A)
+    # per-link per-node rotation rows in destination-line order
+    mats_np = np.asarray(geom.edge_mats)             # (6, 4, A, 2, 2)
+    e_rot = np.zeros((4, len(edge_meta), A))
+    for li, (pa, e, qa, qe, flip) in enumerate(edge_meta):
+        M = mats_np[pa, e]
+        e_rot[0, li] = M[:, 0, 0]
+        e_rot[1, li] = M[:, 0, 1]
+        e_rot[2, li] = M[:, 1, 0]
+        e_rot[3, li] = M[:, 1, 1]
 
     def body_scalar(f, w):
         s = _pair_sum_local(f, p)
         s = _cross_shard_pairs_axis(s, "x", mx, 1, wrap=False)
         s = _cross_shard_pairs_axis(s, "y", my, 2, wrap=False)
-        edges = _pack_edges(s, mx, my, a, b, A)
+        contribs = _routed_edge_contribs(_local_edge_lines(s), rounds,
+                                         local_msgs, edge_meta, my)
         out = s
-        for (pa, e, qa, qe, flip) in edge_meta:
-            line = edges[edge_index[(qa, qe)]]
-            if flip:
-                line = line[::-1]
-            out = _add_edge_local(out, pa, e, line, mx, my, a, b)
+        for m, seg in contribs:
+            pa, e = edge_meta[m.link][0], edge_meta[m.link][1]
+            v = seg[0]
+            if m.flip:
+                v = v[::-1]
+            out = _add_seg_local(out, pa, e, m.dst_lo, m.dst_hi, v,
+                                 m.dst)
         return out * _extend_shape(w, out.ndim, 3)
 
-    def body_vector(fu, fv, w, mats):
+    def body_vector(fu, fv, w):
         su = _pair_sum_local(fu, p)
         su = _cross_shard_pairs_axis(su, "x", mx, 1, wrap=False)
         su = _cross_shard_pairs_axis(su, "y", my, 2, wrap=False)
         sv = _pair_sum_local(fv, p)
         sv = _cross_shard_pairs_axis(sv, "x", mx, 1, wrap=False)
         sv = _cross_shard_pairs_axis(sv, "y", my, 2, wrap=False)
-        eu = _pack_edges(su, mx, my, a, b, A)
-        ev = _pack_edges(sv, mx, my, a, b, A)
-        for (pa, e, qa, qe, flip) in edge_meta:
-            lu = eu[edge_index[(qa, qe)]]
-            lv = ev[edge_index[(qa, qe)]]
-            if flip:
-                lu, lv = lu[::-1], lv[::-1]
-            M = mats[pa, e]                     # (A, 2, 2) replicated
-            m = lambda i, j: _extend_shape(M[:, i, j], lu.ndim, 1)
-            tu = m(0, 0) * lu + m(0, 1) * lv
-            tv = m(1, 0) * lu + m(1, 1) * lv
-            su = _add_edge_local(su, pa, e, tu, mx, my, a, b)
-            sv = _add_edge_local(sv, pa, e, tv, mx, my, a, b)
+        # U/V ride ONE payload (leading axis 2): one ppermute per round
+        lines = {}
+        lu = _local_edge_lines(su)
+        lv = _local_edge_lines(sv)
+        for k in lu:
+            lines[k] = jnp.concatenate([lu[k], lv[k]], axis=0)
+        contribs = _routed_edge_contribs(lines, rounds, local_msgs,
+                                         edge_meta, my)
+        for m, seg in contribs:
+            pa, e = edge_meta[m.link][0], edge_meta[m.link][1]
+            gu, gv = seg[0], seg[1]
+            if m.flip:
+                gu, gv = gu[::-1], gv[::-1]
+            nd = gu.ndim
+
+            def rot(c):
+                return _extend_shape(
+                    jnp.asarray(e_rot[c, m.link, m.g0:m.g1], gu.dtype),
+                    nd, 1)
+
+            tu = rot(0) * gu + rot(1) * gv
+            tv = rot(2) * gu + rot(3) * gv
+            su = _add_seg_local(su, pa, e, m.dst_lo, m.dst_hi, tu, m.dst)
+            sv = _add_seg_local(sv, pa, e, m.dst_lo, m.dst_hi, tv, m.dst)
         wb = _extend_shape(w, su.ndim, 3)
         return su * wb, sv * wb
 
@@ -263,9 +299,9 @@ def make_sphere_dss_shardmap(geom: CubedSphereGeometry, mesh: Mesh):
 
     def dss_vector(fu, fv):
         fn = _shard_map(body_vector, mesh,
-                        in_specs=(spec, spec, spec, P()),
+                        in_specs=(spec, spec, spec),
                         out_specs=(spec, spec))
-        return fn(fu, fv, inv_mult, edge_mats)
+        return fn(fu, fv, inv_mult)
 
     return dss_scalar, dss_vector
 

@@ -105,6 +105,27 @@ def test_model_driver_uses_fast_engine():
     _compare(m_ref.state, m_fast.state, 1e-11)
 
 
+@pytest.mark.parametrize("scheme", ["ars343", "gark2", "ars232"])
+def test_fast_imex_matches_reference_layout(scheme):
+    """The IMEX-ARK family on the z-first engine == the reference-layout
+    IMEX driver (round-5 VERDICT item 10: IMEX is first-class in the
+    reference, TempestInitialize.h:192-291)."""
+    from tempestmodel_tpu.config import TimestepSchemeType
+    from tempestmodel_tpu.fast.engine import (make_fast_imex_step,
+                                              fast_imex_supported)
+    cfg, geom, state = _setup()
+    cfg = cfg.with_(timescheme=TimestepSchemeType(scheme))
+    assert fast_imex_supported(cfg, geom=geom)
+    step_ref = nh_model.make_nh_imex_step(cfg, geom)
+    step_fast = make_fast_imex_step(cfg, geom)
+    s_ref = state
+    s_fast = state
+    for _ in range(2):
+        s_ref = step_ref(s_ref)
+        s_fast = step_fast(s_fast)
+    _compare(s_ref, s_fast, 1e-11)
+
+
 def test_fast_state_mirror_survives_inplace_mutation():
     """A workflow process that mutates the state dict IN PLACE (replaces
     an array under the same dict object) must invalidate the resident
