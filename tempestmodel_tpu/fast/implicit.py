@@ -350,18 +350,16 @@ def vertical_implicit(d, fg: FastGeometry, constants, dt, q, statics,
     if fused:
         from . import pallas_implicit as pim
         # Sublane-packed kernel (the round-4 diagnosed fix,
-        # docs/PERF.md): fold f column subtiles into the sublane dim so
-        # each banded-LU row op is an (f, lane) slab instead of a
-        # 1/8-utilized row vector.  Largest f in {8, 4, 2} keeping the
-        # kron(M, I_f) operator matrices inside ONE 128x128 MXU tile —
-        # at nz=30 that is f=4 ((124, 120) ops, measured 1.33 ms vs
-        # 1.75 ms at f=8 whose (248, 240) ops pay 4 MXU passes each).
-        fold = next((f for f in (8, 4, 2)
-                     if f * (nz + 1) <= 128),
-                    next((f for f in (4, 2) if f * (nz + 1) <= 256), 2))
+        # docs/PERF.md): fold 8 column subtiles into the sublane dim so
+        # each banded-LU row op is a full (8, lane) vreg slab instead of
+        # a 1/8-utilized row vector.  With the BANDED operator
+        # application (pallas_implicit module docstring) the kernel has
+        # no MXU dots left, so f=8 — optimal for the LU — wins outright
+        # (measured 0.64 ms vs 1.89 unfolded / 1.75 dense-f8 /
+        # 1.33 dense-f4 at ne30 L30 f32 true-f32 precision).
         ps = pim.pack_statics(statics, dtype=np.float32
                               if x0_parts[0].dtype == jnp.float32
-                              else np.float64, fold=fold)
+                              else np.float64, fold=8)
         mats = {
             "interp_n2i": fg.interp_n2i, "interp_i2n": fg.interp_i2n,
             "diff_n2i": fg.diff_n2i, "diff_i2n": fg.diff_i2n,
@@ -376,7 +374,7 @@ def vertical_implicit(d, fg: FastGeometry, constants, dt, q, statics,
             d_rt, d_w, d_rho = pim.fused_implicit_update(
                 x_parts, x0_parts, aux, mats, ps, dt, constants,
                 ref_jacobian=ref_jacobian, newton_time_term=(it > 0),
-                col_tile=ct, lane_tile=512)
+                col_tile=ct, lane_tile=256)
             x_parts = (x_parts[0] - d_rt, x_parts[1] - d_w,
                        x_parts[2] - d_rho)
         rt, w, rho = x_parts

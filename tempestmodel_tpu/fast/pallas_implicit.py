@@ -20,15 +20,25 @@ here bands live only as VMEM values.
 Sublane packing (``fold``): the banded-LU row recurrence operates on
 per-row values.  In the natural layout those are (1, ct) row vectors
 that use 1 of 8 VPU sublanes per vreg — the round-4 profile measured
-1.73 ms standalone for ~0.2 ms of useful vector work.  With ``fold=8``
-every (K, ncol) operand is fed pre-reshaped to (K*8, ncol/8) — row
-``k*8+s`` holds the s-th eighth of level k's columns — so each LU row
-value is a FULL (8, ct/8) tile, and the vertical operator matrices
-become ``kron(M, I_8)`` (precomputed host-side; the MXU cost is
-unchanged because the original (31, 30) operands were padding-dominated
-anyway).  The in-kernel lane-split reshape is unsupported by Mosaic, so
-the fold happens OUTSIDE the kernel as a plain row-major reshape.
-``fold=1`` reproduces the original kernel bit-for-bit.
+1.73 ms standalone for ~0.2 ms of useful vector work.  With ``fold=f``
+every (K, ncol) operand is fed pre-reshaped to (K*f, ncol/f) — row
+``k*f+s`` holds the s-th f-th of level k's columns — so each LU row
+value is a FULL (f, ct/f) slab, and the vertical operator matrices
+become ``kron(M, I_f)`` (the in-kernel lane-split reshape is
+unsupported by Mosaic, so the fold happens OUTSIDE the kernel as a
+plain row-major reshape).  ``fold=1`` reproduces the original kernel
+bit-for-bit.
+
+Banded operator application: at vo == 1 every vertical operator
+(interp/diff/penalty/TA/TB/...) is 2-3-diagonal, so ``M @ x`` is two or
+three shifted broadcast-multiplies on the VPU instead of a dense MXU
+dot.  The dense dots were measured AT the MXU structural roofline for
+3-pass true-f32 (~0.82 ms for the ~35 small dots at ne30 — N-streaming
+bound, stacking does not help), while the banded form costs ~2 vreg
+passes per diagonal: the diagonals are extracted host-side from the
+kron'd matrices (offsets are then f-multiples) and shipped as ONE
+(n_vecs, f*(nz+1), 1) value table.  Falls back to dense dots if any
+operator is wider than 6 diagonals.
 
 Restrictions: Lorenz staggering, vertical order 1 (vo == 1), q as
 derived by ``estimate_bandwidth``.  The interleaved row ordering
@@ -134,39 +144,134 @@ def _dot(a, b):
                                preferred_element_type=a.dtype)
 
 
+# --- banded operator extraction (host side) --------------------------------
+
+def _extract_diags_f(Mf, max_offsets: int = 6):
+    """Diagonal representation of an f-space (kron'd) operator matrix:
+    [(offset, value_vector(R_out,))] or None if wider than
+    ``max_offsets`` diagonals."""
+    Mf = np.asarray(Mf, np.float64)
+    R, C = Mf.shape
+    rr, cc = np.nonzero(Mf)
+    offs = sorted(set(int(c) - int(r) for r, c in zip(rr, cc)))
+    if len(offs) > max_offsets:
+        return None
+    out = []
+    for o in offs:
+        vec = np.zeros(R)
+        for r in range(R):
+            c = r + o
+            if 0 <= c < C:
+                vec[r] = Mf[r, c]
+        out.append((o, vec))
+    return out
+
+
+def build_diag_table(ps: PackedStatics, mats, f, dtype):
+    """(vd, bmeta) — all operator diagonals in one (n_vecs, f*(nz+1), 1)
+    table + {op_key: [(f_space_offset, vd_index)]}; None if any operator
+    is too wide for the banded form."""
+    nz = ps.nz
+    I_f = np.eye(f)
+
+    def kf(m):
+        m = np.asarray(m, np.float64)
+        return np.kron(m, I_f) if f > 1 else m
+
+    named = {
+        "In2i": kf(mats["interp_n2i"]), "Ii2n": kf(mats["interp_i2n"]),
+        "Dn2i": kf(mats["diff_n2i"]), "Di2n": kf(mats["diff_i2n"]),
+        "DD": kf(mats["diffdiff_i2i"]),
+        "Pl": kf(mats["penalty_left"]), "Pr": kf(mats["penalty_right"]),
+        "Wl": kf(mats["wscat_left"]), "Wr": kf(mats["wscat_right"]),
+    }
+    i0 = {o: i for i, o in enumerate(ps.offs0)}
+    iw = {o: i for i, o in enumerate(ps.ow)}
+    for o in ps.offs0:
+        named[f"TA{o}"] = np.asarray(ps.TA[i0[o]])
+        named[f"TB{o}"] = np.asarray(ps.TB[i0[o]])
+    if ps.has_penalty:
+        for o in ps.ow:
+            named[f"Ul{o}"] = np.asarray(ps.Ul[iw[o]])
+            named[f"Ur{o}"] = np.asarray(ps.Ur[iw[o]])
+
+    vecs = []
+    bmeta = {}
+    rmax = f * (nz + 1)
+    for name, M in named.items():
+        diags = _extract_diags_f(M)
+        if diags is None:
+            return None, None
+        lst = []
+        for o, vec in diags:
+            if vec.shape[0] < rmax:
+                vec = np.pad(vec, (0, rmax - vec.shape[0]))
+            lst.append((o, len(vecs)))
+            vecs.append(vec)
+        bmeta[name] = lst
+    vd = np.stack(vecs).astype(dtype)[:, :, None]   # (n_vecs, rmax, 1)
+    return vd, bmeta
+
+
 def _kernel(q, nz, f, dt, constants, ps: PackedStatics, ref_jacobian,
-            newton_time_term,
-            # --- refs ---
-            rt_ref, w_ref, rho_ref, rt0_ref, w0_ref, rho0_ref,
-            un_ref, vn_ref,
-            caxi_ref, cbxi_ref, cxixi_ref, caxii_ref, cbxii_ref,
-            cxixii_ref, jac_ref, jaci_ref, drdxi_ref, c2_ref,
-            In2i_ref, Ii2n_ref, Dn2i_ref, Di2n_ref, DD_ref,
-            Pl_ref, Pr_ref, Wl_ref, Wr_ref,
-            TA_ref, TB_ref, DDb_ref, Di2nb_ref, Dn2ib_ref, In2ib_ref,
-            Plb_ref, Prb_ref, Ul_ref, Ur_ref,
-            drt_ref, dw_ref, drho_ref):
+            newton_time_term, bmeta, refs):
     c = constants
+    ins = list(refs[:-3])
+    drt_ref, dw_ref, drho_ref = refs[-3:]
+    (rt_ref, w_ref, rho_ref, rt0_ref, w0_ref, rho0_ref,
+     un_ref, vn_ref,
+     caxi_ref, cbxi_ref, cxixi_ref, caxii_ref, cbxii_ref,
+     cxixii_ref, jac_ref, jaci_ref, drdxi_ref, c2_ref) = ins[:18]
+    rest = ins[18:]
+
     dtype = rt_ref.dtype
     ct = rt_ref.shape[1]
     b = 2 * q + 1
     inv_dt = jnp.asarray(1.0 / dt, dtype)
+
+    i0 = {o: i for i, o in enumerate(ps.offs0)}
+    ip1 = {o: i for i, o in enumerate(ps.offs_p1)}
+    im1 = {o: i for i, o in enumerate(ps.offs_m1)}
+    iw = {o: i for i, o in enumerate(ps.ow)}
+
+    if bmeta is not None:
+        (vd_ref, DDb_ref, Di2nb_ref, Dn2ib_ref, In2ib_ref,
+         Plb_ref, Prb_ref) = rest
+
+        def apply_op(name, x, R_out):
+            """M @ x via shifted broadcast-multiplies (banded, VPU)."""
+            rows = f * R_out
+            acc = None
+            for o, idx in bmeta[name]:
+                v = vd_ref[idx, 0:rows]
+                t = v * _shift_rows(x, o, rows)
+                acc = t if acc is None else acc + t
+            if acc is None:
+                acc = jnp.zeros((rows, ct), dtype)
+            return acc
+    else:
+        (In2i_ref, Ii2n_ref, Dn2i_ref, Di2n_ref, DD_ref,
+         Pl_ref, Pr_ref, Wl_ref, Wr_ref,
+         TA_ref, TB_ref, DDb_ref, Di2nb_ref, Dn2ib_ref, In2ib_ref,
+         Plb_ref, Prb_ref, Ul_ref, Ur_ref) = rest
+        dmap = {"In2i": In2i_ref, "Ii2n": Ii2n_ref, "Dn2i": Dn2i_ref,
+                "Di2n": Di2n_ref, "DD": DD_ref, "Pl": Pl_ref,
+                "Pr": Pr_ref, "Wl": Wl_ref, "Wr": Wr_ref}
+        smap = {"TA": (TA_ref, i0), "TB": (TB_ref, i0),
+                "Ul": (Ul_ref, iw), "Ur": (Ur_ref, iw)}
+
+        def apply_op(name, x, R_out):
+            """M @ x via a dense MXU dot (kron'd operator)."""
+            if name[:2] in smap and name[2:].lstrip("-").isdigit():
+                ref, idx = smap[name[:2]]
+                return _dot(ref[idx[int(name[2:])]], x)
+            return _dot(dmap[name][...], x)
 
     rt = rt_ref[...]
     w = w_ref[...]
     rho = rho_ref[...]
     u_n = un_ref[...]
     v_n = vn_ref[...]
-
-    In2i = In2i_ref[...]
-    Ii2n = Ii2n_ref[...]
-    Dn2i = Dn2i_ref[...]
-    Di2n = Di2n_ref[...]
-    DD = DD_ref[...]
-    Pl = Pl_ref[...]
-    Pr = Pr_ref[...]
-    Wl = Wl_ref[...]
-    Wr = Wr_ref[...]
 
     caxi = caxi_ref[...]
     cbxi = cbxi_ref[...]
@@ -177,6 +282,7 @@ def _kernel(q, nz, f, dt, constants, ps: PackedStatics, ref_jacobian,
     jac = jac_ref[...]
     jac_i = jaci_ref[...]
     drdxi = drdxi_ref[...]
+
     # the 2-D metric c2 broadcasts over levels at f=1 ((1, ct) rows);
     # folded it must be tiled explicitly to the level/interface row counts
     def lev_rows(x):
@@ -193,23 +299,23 @@ def _kernel(q, nz, f, dt, constants, ps: PackedStatics, ref_jacobian,
     inv_jac = 1.0 / jac
 
     # --- aux (nonhydro._implicit_aux) ---------------------------------
-    u_i = _dot(In2i, u_n)
-    v_i = _dot(In2i, v_n)
-    du_i = _dot(Dn2i, u_n)
-    dv_i = _dot(Dn2i, v_n)
+    u_i = apply_op("In2i", u_n, nz + 1)
+    v_i = apply_op("In2i", v_n, nz + 1)
+    du_i = apply_op("Dn2i", u_n, nz + 1)
+    dv_i = apply_op("Dn2i", v_n, nz + 1)
 
     # --- shared primal factors ----------------------------------------
-    w_n = _dot(Ii2n, w)
-    rho_i = _dot(In2i, rho)
-    rt_i = _dot(In2i, rt)
+    w_n = apply_op("Ii2n", w, nz)
+    rho_i = apply_op("In2i", rho, nz + 1)
+    rt_i = apply_op("In2i", rt, nz + 1)
     pi_n = c.Cp * jnp.exp(
         c.Rd / (c.Cp - c.Rd) * jnp.log(c.Rd / c.P0 * rt))
     dpi_drt = (c.Rd / (c.Cp - c.Rd)) * pi_n / rt
-    dpi_i = _dot(Dn2i, pi_n)
+    dpi_i = apply_op("Dn2i", pi_n, nz + 1)
     xid_n = caxi * u_n + cbxi * v_n + cxixi * w_n
     xid_i = (caxii * u_i + cbxii * v_i + cXi * w) * mask
     curl_coef = -(caxii * du_i + cbxii * dv_i)
-    ddw = _dot(DD, w) * mask
+    ddw = apply_op("DD", w, nz + 1) * mask
     upw_c = 0.5 / nz
     if ref_jacobian:
         sgn_xid = jnp.sign(xid_i)
@@ -218,12 +324,12 @@ def _kernel(q, nz, f, dt, constants, ps: PackedStatics, ref_jacobian,
 
     # penalty weights (vo == 1: interior element edges are rows 1..nz-1)
     wb = jnp.abs(xid_i[f:f * nz])                   # (f*(nfe-1), ct)
-    wl = _dot(Wl, wb)
-    wr = _dot(Wr, wb)
-    lrt = _dot(Pl, rt)
-    rrt = _dot(Pr, rt)
-    lrho = _dot(Pl, rho)
-    rrho = _dot(Pr, rho)
+    wl = apply_op("Wl", wb, nz)
+    wr = apply_op("Wr", wb, nz)
+    lrt = apply_op("Pl", rt, nz)
+    rrt = apply_op("Pr", rt, nz)
+    lrho = apply_op("Pl", rho, nz)
+    rrho = apply_op("Pr", rho, nz)
     if ref_jacobian:
         sgn_edge = jnp.sign(xid_i[f:f * nz]) * cXi[f:f * nz]
     else:
@@ -232,14 +338,14 @@ def _kernel(q, nz, f, dt, constants, ps: PackedStatics, ref_jacobian,
 
     # --- residual F(x) (nonhydro._column_residual) --------------------
     mf_i = jac_i * rho_i * xid_i
-    f_rho = _dot(Di2n, mf_i) * inv_jac
+    f_rho = apply_op("Di2n", mf_i, nz) * inv_jac
     pf_i = jac_i * rt_i * xid_i
-    f_rt = _dot(Di2n, pf_i) * inv_jac
+    f_rt = apply_op("Di2n", pf_i, nz) * inv_jac
 
     con_ua_n = c2aa_n * u_n + c2ab_n * v_n + caxi * w_n
     con_ub_n = c2ba_n * u_n + c2bb_n * v_n + cbxi * w_n
     ke_n = 0.5 * (con_ua_n * u_n + con_ub_n * v_n + xid_n * w_n)
-    dke_i = _dot(Dn2i, ke_n)
+    dke_i = apply_op("Dn2i", ke_n, nz + 1)
     con_ua_i = c2aa_i * u_i + c2ab_i * v_i + caxii * w
     con_ub_i = c2ba_i * u_i + c2bb_i * v_i + cbxii * w
     curl = -con_ua_i * du_i - con_ub_i * dv_i
@@ -268,14 +374,9 @@ def _kernel(q, nz, f, dt, constants, ps: PackedStatics, ref_jacobian,
     rho_slots = [zn] * b
     w_slots = [zi] * b
 
-    i0 = {o: i for i, o in enumerate(ps.offs0)}
-    ip1 = {o: i for i, o in enumerate(ps.offs_p1)}
-    im1 = {o: i for i, o in enumerate(ps.offs_m1)}
-    iw = {o: i for i, o in enumerate(ps.ow)}
-
     for o in ps.offs0:
         d = q + 3 * o
-        val = inv_jac * _dot(TA_ref[i0[o]], d1)
+        val = inv_jac * apply_op(f"TA{o}", d1, nz)
         val = val - wl * Plb_ref[i0[o]] - wr * Prb_ref[i0[o]]
         if o == 0:
             val = val + inv_dt
@@ -286,8 +387,8 @@ def _kernel(q, nz, f, dt, constants, ps: PackedStatics, ref_jacobian,
         d = q + 3 * o + 1
         v_rt = inv_jac * Di2nb_ref[iw[o]] * _shift_rows(e_rt, f * o, f * nz)
         if ps.has_penalty:
-            v_rt = v_rt - lrt * _dot(Ul_ref[iw[o]], sgn_edge) \
-                - rrt * _dot(Ur_ref[iw[o]], sgn_edge)
+            v_rt = v_rt - lrt * apply_op(f"Ul{o}", sgn_edge, nz) \
+                - rrt * apply_op(f"Ur{o}", sgn_edge, nz)
         rt_slots[d] = rt_slots[d] + v_rt
 
     for o in ps.offs_m1:
@@ -295,8 +396,8 @@ def _kernel(q, nz, f, dt, constants, ps: PackedStatics, ref_jacobian,
         v_rho = inv_jac * Di2nb_ref[iw[o]] \
             * _shift_rows(e_rho, f * o, f * nz)
         if ps.has_penalty:
-            v_rho = v_rho - lrho * _dot(Ul_ref[iw[o]], sgn_edge) \
-                - rrho * _dot(Ur_ref[iw[o]], sgn_edge)
+            v_rho = v_rho - lrho * apply_op(f"Ul{o}", sgn_edge, nz) \
+                - rrho * apply_op(f"Ur{o}", sgn_edge, nz)
         rho_slots[d] = rho_slots[d] + v_rho
 
     for o in ps.offs_m1:
@@ -312,7 +413,7 @@ def _kernel(q, nz, f, dt, constants, ps: PackedStatics, ref_jacobian,
 
     for o in ps.offs0:
         d = q + 3 * o
-        val = _dot(TB_ref[i0[o]], xid_n)
+        val = apply_op(f"TB{o}", xid_n, nz + 1)
         val = val - upw_c * jnp.abs(xid_i) * DDb_ref[i0[o]]
         if o == 0:
             val = val - upw_c * sgn_xid * ddw * cXi * mask
@@ -342,7 +443,7 @@ def _kernel(q, nz, f, dt, constants, ps: PackedStatics, ref_jacobian,
             k, slots, rhs = i // 3, w_slots, f_w
         else:
             k, slots, rhs = i // 3, rho_slots, f_rho
-        # each row value is a (f, ct) slab: at fold=8 a FULL VPU tile,
+        # each row value is a (f, ct) slab: at fold>1 a full VPU tile,
         # at fold=1 the original (1, ct) Mosaic-friendly row
         return ([s[f * k:f * (k + 1)] for s in slots],
                 rhs[f * k:f * (k + 1)])
@@ -377,7 +478,7 @@ def _kernel(q, nz, f, dt, constants, ps: PackedStatics, ref_jacobian,
 
 
 def _fold_cols(x, f, ncol_pad):
-    """(K, ncol) -> (K*f, ncol_pad//f): row k*f+s holds the s-th eighth
+    """(K, ncol) -> (K*f, ncol_pad//f): row k*f+s holds the s-th f-th
     of level k's (edge-padded) columns.  Plain row-major reshape."""
     K, ncol = x.shape
     if ncol_pad > ncol:
@@ -400,10 +501,11 @@ def fused_implicit_update(x_parts, x0_parts, aux_flat, mats, ps:
     ``aux_flat``: dict of column-flattened aux/geometry arrays; ``mats``:
     dict of the small vertical operator matrices.
 
-    ``ps.fold > 1`` selects the sublane-packed kernel: every operand is
-    folded to (K*f, ncol/f) outside the kernel (see module docstring);
-    ``lane_tile`` is then the per-block lane width (the effective column
-    tile is fold*lane_tile).  ``col_tile`` applies to the fold=1 path.
+    ``ps.fold > 1`` selects the sublane-packed kernel with BANDED
+    operator application (see module docstring); ``lane_tile`` is then
+    the per-block lane width (the effective column tile is
+    fold*lane_tile).  ``col_tile`` applies to the fold=1 path, which
+    keeps the original dense-dot kernel bit-for-bit.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -415,6 +517,7 @@ def fused_implicit_update(x_parts, x0_parts, aux_flat, mats, ps:
     dtype = rt.dtype
     npdt = np.float32 if dtype == jnp.float32 else np.float64
 
+    bmeta = None
     if f > 1:
         blk = f * lane_tile
         ncol_pad = -(-ncol // blk) * blk
@@ -437,10 +540,20 @@ def fused_implicit_update(x_parts, x0_parts, aux_flat, mats, ps:
             aux_flat["con_b_xi_int"], aux_flat["con_xi_xi_int"],
             aux_flat["jac"], aux_flat["jac_int"],
             aux_flat["deriv_r_int"], aux_flat["c2"])]
-        small = [_kron_f(mats[k], f, npdt) for k in
-                 ("interp_n2i", "interp_i2n", "diff_n2i", "diff_i2n",
-                  "diffdiff_i2i", "penalty_left", "penalty_right",
-                  "wscat_left", "wscat_right")]
+        vd, bmeta = build_diag_table(ps, mats, f, npdt)
+        if bmeta is not None:
+            extra = [jnp.asarray(vd, dtype)] + [
+                jnp.asarray(a, dtype) for a in
+                (ps.DDb, ps.Di2n_b, ps.Dn2i_b, ps.In2i_b,
+                 ps.Pl_b, ps.Pr_b)]
+        else:
+            extra = ([_kron_f(mats[k], f, npdt) for k in
+                      ("interp_n2i", "interp_i2n", "diff_n2i",
+                       "diff_i2n", "diffdiff_i2i", "penalty_left",
+                       "penalty_right", "wscat_left", "wscat_right")]
+                     + [jnp.asarray(a, dtype) for a in
+                        (ps.TA, ps.TB, ps.DDb, ps.Di2n_b, ps.Dn2i_b,
+                         ps.In2i_b, ps.Pl_b, ps.Pr_b, ps.Ul, ps.Ur)])
         out_rows = (f * nz, f * (nz + 1), f * nz)
     else:
         ct = col_tile
@@ -455,10 +568,14 @@ def fused_implicit_update(x_parts, x0_parts, aux_flat, mats, ps:
             aux_flat["jac"], aux_flat["jac_int"],
             aux_flat["deriv_r_int"], aux_flat["c2"],
         ]
-        small = [mats["interp_n2i"], mats["interp_i2n"], mats["diff_n2i"],
-                 mats["diff_i2n"], mats["diffdiff_i2i"],
-                 mats["penalty_left"], mats["penalty_right"],
-                 mats["wscat_left"], mats["wscat_right"]]
+        extra = ([mats["interp_n2i"], mats["interp_i2n"],
+                  mats["diff_n2i"], mats["diff_i2n"],
+                  mats["diffdiff_i2i"], mats["penalty_left"],
+                  mats["penalty_right"], mats["wscat_left"],
+                  mats["wscat_right"]]
+                 + [jnp.asarray(a, dtype) for a in
+                    (ps.TA, ps.TB, ps.DDb, ps.Di2n_b, ps.Dn2i_b,
+                     ps.In2i_b, ps.Pl_b, ps.Pr_b, ps.Ul, ps.Ur)])
         out_rows = (nz, nz + 1, nz)
 
     def colspec(rows):
@@ -470,17 +587,13 @@ def fused_implicit_update(x_parts, x0_parts, aux_flat, mats, ps:
         return pl.BlockSpec(a.shape, (lambda nd_: lambda i: (0,) * nd_)(nd),
                             memory_space=pltpu.VMEM)
 
-    stat = [jnp.asarray(a, dtype) for a in
-            (ps.TA, ps.TB, ps.DDb, ps.Di2n_b, ps.Dn2i_b, ps.In2i_b,
-             ps.Pl_b, ps.Pr_b, ps.Ul, ps.Ur)]
-
     in_specs = ([colspec(a.shape[0]) for a in col_inputs]
-                + [whole(a) for a in small]
-                + [whole(a) for a in stat])
+                + [whole(a) for a in extra])
 
     ncol_out = col_inputs[0].shape[1]
-    kern = functools.partial(_kernel, q, nz, f, float(dt), constants, ps,
-                             bool(ref_jacobian), bool(newton_time_term))
+    kern = lambda *refs: _kernel(q, nz, f, float(dt), constants, ps,
+                                 bool(ref_jacobian),
+                                 bool(newton_time_term), bmeta, refs)
     outs = pl.pallas_call(
         kern, grid=grid, in_specs=in_specs,
         out_specs=tuple(colspec(r) for r in out_rows),
@@ -489,7 +602,7 @@ def fused_implicit_update(x_parts, x0_parts, aux_flat, mats, ps:
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(*col_inputs, *small, *stat)
+    )(*col_inputs, *extra)
     if f > 1:
         d_rt, d_w, d_rho = outs
         d_rt = d_rt.reshape(nz, -1)[:, :ncol]
