@@ -131,6 +131,10 @@ def main():
     peak_flops, peak_bw = PEAKS.get(
         dev_kind, PEAKS.get(jax.default_backend(), (197e12, 819e9)))
 
+    # NOTE: XLA cost analysis cannot see inside Pallas custom-calls, so
+    # ``flops``/``achieved_tflops`` are lower bounds that shrink as more
+    # of the step moves into kernels; the speed-of-light accounting is
+    # bytes-bound (sol = bytes_lb / peak_bw) and unaffected.
     flops, bytes_ub = _cost(step1.lower(state_b, carry).compile())
 
     # lower bound on HBM traffic: full prognostic state read+written once

@@ -1018,8 +1018,9 @@ def make_fast_step(cfg: ModelConfig, geom: CubedSphereGeometry,
     statics = nonhydro.band_assembly_statics(geom, q)
     use_pallas = cfg.vertical_solver == "pallas"
     rayleigh = _rayleigh_terms(cfg, geom, ref_state, fg=fg)
-    use_fused_stage = (fg.vo == 1 and fg.A % 8 == 0 and fg.p <= 8
-                       and 8 % fg.p == 0)
+    use_fused_stage = (fg.vo == 1 and fg.p <= 8 and 8 % fg.p == 0
+                       and (fg.A % 8 == 0
+                            or (fg.A <= 8 and fg.A % fg.p == 0)))
     # fold the W stage finish into the (U, V) DSS launch when the
     # surface interpolant row only reads the bottom two levels
     In0 = np.asarray(geom.interp_n2i)[0]

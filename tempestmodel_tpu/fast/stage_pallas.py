@@ -1,25 +1,27 @@
 """Fused Pallas TPU kernel: one explicit RK stage of the NH dynamics.
 
-Split of one RK stage (= the reference's ``StepNonhydrostaticPrimitive``
-hot loop, ``HorizontalDynamicsFEM.cpp:701-1786``, plus
+One RK stage (= the reference's ``StepNonhydrostaticPrimitive`` hot
+loop, ``HorizontalDynamicsFEM.cpp:701-1786``, plus
 ``VerticalDynamicsFEM::StepExplicit`` penalty upwinding and the bottom-W
-boundary) between XLA and one Pallas kernel:
+boundary) as ONE Pallas kernel per (panel, A-chunk) tile:
 
-- XLA pre-pass: the vertical column operators (w_n, du/dxi, dv/dxi,
-  xidot, penalty increments) — clean leading-axis GEMMs that XLA already
-  executes near bandwidth (Mosaic cannot contract the leading axis of a
-  (K, ac, B) block without an unsupported lane-merge reshape, so these
-  stay outside).
-- Pallas kernel, per (panel, A-chunk) tile: all horizontal derivatives
-  (element-local A-contraction unrolled as scaled adds; B-contraction as
-  one (K*ac, B) x (B, B) MXU GEMM), the full nonlinear tendency algebra,
-  and the axpy ``base + dt_s * tend`` for U/V/Rt/Rho; outputs also the
-  vertical-momentum forcing ucz_x.
-- XLA post-pass: dW = interp_n2i @ ucz_x (masked), the W axpy, and the
-  diagnostic bottom-W boundary from the updated velocities.
+- horizontal derivatives: element-local A-contraction unrolled as
+  scaled adds (``_da``); B-contraction as one (K*ac, B) x (B, B) MXU
+  GEMM (``_db``);
+- vertical column operators (w_n, du/dxi, dv/dxi, u_i, v_i, the
+  penalty-upwind increments): applied IN-KERNEL as banded diagonals —
+  at vo == 1 every vertical operator is 2-3-diagonal, so each is a
+  couple of leading-axis shifts + broadcast multiplies (round 5; the
+  former XLA pre-pass cost ~11 HBM-round-trip GEMM fusions per stage).
+  Falls back to the XLA pre-pass if any operator is wider than 6
+  diagonals (``fold_prepass`` auto-gate);
+- the full nonlinear tendency algebra, the two-term RK base
+  combination (bases never round-trip HBM), and the tracer advection
+  riding the same in-VMEM fluxes as Rho.
 
 The math is the port in ``fast/engine.horizontal_tendency`` /
-``apply_w_boundary``; DSS follows separately (``fast/dss_pallas``).
+``apply_w_boundary``; DSS follows separately (``fast/dss_pallas``,
+optionally folding the W finish via ``defer_w``).
 """
 
 from __future__ import annotations
@@ -33,6 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .engine import colop
+from .pallas_implicit import _shift_rows, _extract_diags_f
 
 
 def _db(x, DAT):
@@ -59,27 +62,69 @@ def _da(x, M, delta, p):
     return jnp.concatenate(pieces, axis=1)
 
 
+def build_stage_diags(fg, dtype):
+    """(vd, bmeta) for the stage pre-pass operators, or (None, None) if
+    any is wider than 6 diagonals.  vd: (n_vecs, nz+1, 1, 1)."""
+    nz = fg.nz
+    named = {"Ii2n": fg.interp_i2n, "Dn2n": fg.diff_n2n,
+             "In2i": fg.interp_n2i}
+    has_pen = fg.penalty_left is not None and nz // fg.vo > 1
+    if has_pen:
+        named.update({"Wl": fg.wscat_left, "Wr": fg.wscat_right,
+                      "Pl": fg.penalty_left, "Pr": fg.penalty_right})
+    vecs = []
+    bmeta = {}
+    for name, M in named.items():
+        diags = _extract_diags_f(np.asarray(M))
+        if diags is None:
+            return None, None
+        lst = []
+        for o, vec in diags:
+            if vec.shape[0] < nz + 1:
+                vec = np.pad(vec, (0, nz + 1 - vec.shape[0]))
+            lst.append((o, len(vecs)))
+            vecs.append(vec)
+        bmeta[name] = lst
+    vd = np.stack(vecs).astype(dtype)[:, :, None, None]
+    return vd, bmeta
+
+
 def _kernel(nz, p, delta, D, S, g, two_base, use_sep, xz_zero, ntr,
-            refs):
+            bmeta, has_pen, refs):
     n_out = 6 if ntr else 5
-    ins, outs = refs[:-n_out], refs[-n_out:]
-    if ntr:
-        # tracer inputs sit right after the 17 base field inputs
-        tr_ref, btr1_ref, btr2_ref = ins[17:20]
-        ins = ins[:17] + ins[20:]
-        otr_ref = outs[5]
-    ou_ref, ov_ref, ort_ref, orho_ref, oucz_ref = outs[:5]
-    if use_sep:
-        (u_ref, v_ref, rt_ref, rho_ref, wn_ref, duxi_ref, dvxi_ref,
+    ins, outs = list(refs[:-n_out]), refs[-n_out:]
+    it = iter(ins)
+    fold_pre = bmeta is not None
+    if fold_pre:
+        (u_ref, v_ref, rt_ref, rho_ref, w_ref,
          bu_ref, bv_ref, brt_ref, brho_ref,
-         b2u_ref, b2v_ref, b2rt_ref, b2rho_ref, pu_ref, pv_ref,
-         m2d_ref, s_ref, SdT_ref, DAT_ref, dts_ref) = ins
+         b2u_ref, b2v_ref, b2rt_ref, b2rho_ref) = [next(it)
+                                                   for _ in range(13)]
     else:
         (u_ref, v_ref, rt_ref, rho_ref, wn_ref, duxi_ref, dvxi_ref,
          bu_ref, bv_ref, brt_ref, brho_ref,
-         b2u_ref, b2v_ref, b2rt_ref, b2rho_ref, pu_ref, pv_ref,
-         caxi_ref, cbxi_ref, cxixi_ref, jac_ref, dra_ref, drb_ref,
-         m2d_ref, SdT_ref, DAT_ref, dts_ref) = ins
+         b2u_ref, b2v_ref, b2rt_ref, b2rho_ref,
+         pu_ref, pv_ref) = [next(it) for _ in range(17)]
+    if ntr:
+        tr_ref, btr1_ref, btr2_ref = [next(it) for _ in range(3)]
+        otr_ref = outs[5]
+    if not use_sep:
+        caxi_ref, cbxi_ref, cxixi_ref, jac_ref, dra_ref, drb_ref = \
+            [next(it) for _ in range(6)]
+        if fold_pre:
+            caxii_ref, cbxii_ref, cxixii_ref = [next(it)
+                                                for _ in range(3)]
+    m2d_ref = next(it)
+    if use_sep:
+        s_ref = next(it)
+        if fold_pre:
+            si_ref = next(it)
+    SdT_ref = next(it)
+    DAT_ref = next(it)
+    if fold_pre:
+        vd_ref = next(it)
+    dts_ref = next(it)
+    ou_ref, ov_ref, ort_ref, orho_ref, oucz_ref = outs[:5]
 
     def rd(ref):
         x = ref[...]
@@ -95,13 +140,13 @@ def _kernel(nz, p, delta, D, S, g, two_base, use_sep, xz_zero, ntr,
         if two_base:
             return cb1 * rd(ref1) + cb2 * rd(ref2)
         return rd(ref1)
+
     u = rd(u_ref)
     v = rd(v_ref)
     rt = rd(rt_ref)
     rho = rd(rho_ref)
-    w_n = rd(wn_ref)
-    du_dxi = rd(duxi_ref)
-    dv_dxi = rd(dvxi_ref)
+    dtype = u.dtype
+
     if use_sep:
         # (12, ac, B): c2aa..c2bb, fj, Ca, Cb, E, F, dZs/da, dZs/db, jacl
         m2d = rd(m2d_ref)
@@ -127,6 +172,48 @@ def _kernel(nz, p, delta, D, S, g, two_base, use_sep, xz_zero, ntr,
     fj = m2d[4:5]
     SdT = SdT_ref[...]
     DAT = DAT_ref[...]
+
+    if fold_pre:
+        # --- in-kernel vertical pre-pass (banded diagonals) -----------
+        wv = rd(w_ref)                               # (nz+1, ac, B)
+
+        def bapply(name, x, R_out):
+            acc = None
+            for o, idx in bmeta[name]:
+                vvec = vd_ref[idx, 0:R_out]          # (R_out, 1, 1)
+                t = vvec * _shift_rows(x, o, R_out)
+                acc = t if acc is None else acc + t
+            return acc
+
+        w_n = bapply("Ii2n", wv, nz)
+        du_dxi = bapply("Dn2n", u, nz)
+        dv_dxi = bapply("Dn2n", v, nz)
+        u_i = bapply("In2i", u, nz + 1)
+        v_i = bapply("In2i", v, nz + 1)
+        if use_sep:
+            si = si_ref[...].reshape(nz + 1, 1, 1)
+            xid = (si * (m2d[5:6] * u_i + m2d[6:7] * v_i)
+                   + (m2d[7:8] + si * si * m2d[8:9]) * wv)
+        else:
+            xid = (rd(caxii_ref) * u_i + rd(cbxii_ref) * v_i
+                   + rd(cxixii_ref) * wv)
+        ii = jax.lax.broadcasted_iota(jnp.int32, (nz + 1, 1, 1), 0)
+        xid = xid * ((ii > 0) & (ii < nz)).astype(dtype)
+        if has_pen:
+            wb = jnp.abs(xid[1:nz])                  # vo == 1
+            wl = bapply("Wl", wb, nz)
+            wr = bapply("Wr", wb, nz)
+            pen_u = bapply("Pl", u, nz) * wl + bapply("Pr", u, nz) * wr
+            pen_v = bapply("Pl", v, nz) * wl + bapply("Pr", v, nz) * wr
+        else:
+            pen_u = jnp.zeros_like(u)
+            pen_v = jnp.zeros_like(v)
+    else:
+        w_n = rd(wn_ref)
+        du_dxi = rd(duxi_ref)
+        dv_dxi = rd(dvxi_ref)
+        pen_u = rd(pu_ref)
+        pen_v = rd(pv_ref)
 
     Cp, Rd, P0, grav = g
 
@@ -165,16 +252,16 @@ def _kernel(nz, p, delta, D, S, g, two_base, use_sep, xz_zero, ntr,
 
     if xz_zero == "U":
         # ab-swapped xz: engine U = physical V, no tendency
-        dU = rd(pu_ref)
+        dU = pen_u
     else:
         dU = (ucz_a + fj * con_ub
-              - (dpi_a * theta + dke_a + grav * dra)) + rd(pu_ref)
+              - (dpi_a * theta + dke_a + grav * dra)) + pen_u
     if xz_zero == "V":
         # xz slice: no V tendency; the penalty increment still applies
-        dV = rd(pv_ref)
+        dV = pen_v
     else:
         dV = (ucz_b - fj * con_ua
-              - (dpi_b * theta + dke_b + grav * drb)) + rd(pv_ref)
+              - (dpi_b * theta + dke_b + grav * drb)) + pen_v
     dRho = -div_rho / jac
     dRt = -div_rt / jac
 
@@ -206,7 +293,7 @@ def _kernel(nz, p, delta, D, S, g, two_base, use_sep, xz_zero, ntr,
         wr_out(otr_ref, jnp.concatenate(pieces, axis=0))
 
 
-def fused_stage(base, ueval, dt_s, fg, constants, ac: int = 8,
+def fused_stage(base, ueval, dt_s, fg, constants, ac: int = None,
                 interpret=None, defer_w: bool = False):
     """One RK stage update: base + dt_s * tendency(ueval), W boundary
     applied; returns the pre-DSS updated state dict.
@@ -231,6 +318,10 @@ def fused_stage(base, ueval, dt_s, fg, constants, ac: int = 8,
     nz, p = fg.nz, fg.p
     A, B = fg.A, fg.B
     dtype = base1["U"].dtype
+    if ac is None:
+        # A-chunk: 8 rows when aligned; a short swapped-xz A (= ney*p)
+        # runs as ONE chunk (sublane-underfilled but a single grid step)
+        ac = 8 if A % 8 == 0 else A
     assert A % ac == 0 and ac % p == 0
     grid = (fg.npanels, A // ac)
 
@@ -241,45 +332,82 @@ def fused_stage(base, ueval, dt_s, fg, constants, ac: int = 8,
 
     u, v, w = ueval["U"], ueval["V"], ueval["W"]
     use_sep = bool(fg.sep_ok)
+    has_pen = fg.penalty_left is not None and nz // fg.vo > 1
 
-    # --- XLA pre-pass: vertical column operators ----------------------
-    # NOTE: separate dots per operator, NOT one stacked
-    # [diff; interp; penalties] GEMM per field — stacking was measured
-    # SLOWER (+0.8 ms/step): the row-slices of the stacked result feed
-    # Pallas operands, which forces each slice to materialize as a copy
-    w_n = colop(fg.interp_i2n, w)
-    du_dxi = colop(fg.diff_n2n, u)
-    dv_dxi = colop(fg.diff_n2n, v)
-    u_i = colop(fg.interp_n2i, u)
-    v_i = colop(fg.interp_n2i, v)
-    if use_sep:
-        # separable metric: 2-D terrain fields x 1-D profile instead of
-        # full (nz+1, 6, A, B) tensors (engine.FastGeometry sep_* docs)
-        si = fg.s_int[:, :, None, None]
-        xid = (si * (fg.sep_ca[None] * u_i + fg.sep_cb[None] * v_i)
-               + (fg.sep_e[None] + si * si * fg.sep_f[None]) * w)
+    vd = bmeta = None
+    if fg.vo == 1:
+        vd, bmeta = build_stage_diags(fg, npdt)
+    fold_pre = bmeta is not None
+
+    if fold_pre:
+        field_in = [u, v, ueval["Rt"], ueval["Rho"], w,
+                    base1["U"], base1["V"], base1["Rt"], base1["Rho"],
+                    base2["U"], base2["V"], base2["Rt"], base2["Rho"]]
     else:
-        xid = (fg.con_a_xi_int * u_i + fg.con_b_xi_int * v_i
-               + fg.con_xi_xi_int * w)
-    xid = xid.at[0].set(0.0).at[-1].set(0.0)
-    if fg.penalty_left is not None and nz // fg.vo > 1:
-        wb = jnp.abs(xid[fg.vo:nz:fg.vo])
-        wl = colop(fg.wscat_left, wb)
-        wr = colop(fg.wscat_right, wb)
-        pen_u = colop(fg.penalty_left, u) * wl \
-            + colop(fg.penalty_right, u) * wr
-        pen_v = colop(fg.penalty_left, v) * wl \
-            + colop(fg.penalty_right, v) * wr
-    else:
-        pen_u = jnp.zeros_like(u)
-        pen_v = jnp.zeros_like(v)
+        # --- XLA pre-pass: vertical column operators ------------------
+        w_n = colop(fg.interp_i2n, w)
+        du_dxi = colop(fg.diff_n2n, u)
+        dv_dxi = colop(fg.diff_n2n, v)
+        u_i = colop(fg.interp_n2i, u)
+        v_i = colop(fg.interp_n2i, v)
+        if use_sep:
+            si = fg.s_int[:, :, None, None]
+            xid = (si * (fg.sep_ca[None] * u_i + fg.sep_cb[None] * v_i)
+                   + (fg.sep_e[None] + si * si * fg.sep_f[None]) * w)
+        else:
+            xid = (fg.con_a_xi_int * u_i + fg.con_b_xi_int * v_i
+                   + fg.con_xi_xi_int * w)
+        xid = xid.at[0].set(0.0).at[-1].set(0.0)
+        if has_pen:
+            wb = jnp.abs(xid[fg.vo:nz:fg.vo])
+            wl = colop(fg.wscat_left, wb)
+            wr = colop(fg.wscat_right, wb)
+            pen_u = colop(fg.penalty_left, u) * wl \
+                + colop(fg.penalty_right, u) * wr
+            pen_v = colop(fg.penalty_left, v) * wl \
+                + colop(fg.penalty_right, v) * wr
+        else:
+            pen_u = jnp.zeros_like(u)
+            pen_v = jnp.zeros_like(v)
+        field_in = [u, v, ueval["Rt"], ueval["Rho"], w_n, du_dxi,
+                    dv_dxi,
+                    base1["U"], base1["V"], base1["Rt"], base1["Rho"],
+                    base2["U"], base2["V"], base2["Rt"], base2["Rho"],
+                    pen_u, pen_v]
+
+    ntr = 0
+    if "Tracers" in ueval:
+        ntr = ueval["Tracers"].shape[0] // nz
+        btr1 = base1.get("Tracers", ueval["Tracers"])
+        btr2 = base2.get("Tracers", btr1)
+        field_in += [ueval["Tracers"], btr1, btr2]
 
     if use_sep:
         m2d = jnp.stack([fg.c2_aa, fg.c2_ab, fg.c2_ba, fg.c2_bb, fg.fj,
                          fg.sep_ca, fg.sep_cb, fg.sep_e, fg.sep_f,
                          fg.sep_da, fg.sep_db, fg.sep_jacl])
+        field_in += [m2d]
     else:
         m2d = jnp.stack([fg.c2_aa, fg.c2_ab, fg.c2_ba, fg.c2_bb, fg.fj])
+        field_in += [fg.con_a_xi, fg.con_b_xi, fg.con_xi_xi,
+                     fg.jac3d, fg.deriv_r_a, fg.deriv_r_b]
+        if fold_pre:
+            field_in += [fg.con_a_xi_int, fg.con_b_xi_int,
+                         fg.con_xi_xi_int]
+        field_in += [m2d]
+
+    SdT = jnp.asarray(np.asarray(fg.Sd_b).T, dtype)
+    DAT = jnp.asarray(np.asarray(fg.DA_b).T, dtype)
+    dts = jnp.asarray([[dt_s, cb1, cb2]], dtype)
+
+    small_in = []
+    if use_sep:
+        small_in.append(fg.s_lev)
+        if fold_pre:
+            small_in.append(fg.s_int)
+    small_in += [SdT, DAT]
+    if fold_pre:
+        small_in.append(jnp.asarray(vd, dtype))
 
     def spec(K):
         return pl.BlockSpec((K, 1, ac, B), lambda ip, ia: (0, ip, ia, 0),
@@ -290,40 +418,16 @@ def fused_stage(base, ueval, dt_s, fg, constants, ac: int = 8,
         return pl.BlockSpec(a.shape, (lambda n: lambda ip, ia: (0,) * n)(nd),
                             memory_space=pltpu.VMEM)
 
-    SdT = jnp.asarray(np.asarray(fg.Sd_b).T, dtype)
-    DAT = jnp.asarray(np.asarray(fg.DA_b).T, dtype)
-    dts = jnp.asarray([[dt_s, cb1, cb2]], dtype)
-
-    field_in = [u, v, ueval["Rt"], ueval["Rho"], w_n, du_dxi, dv_dxi,
-                base1["U"], base1["V"], base1["Rt"], base1["Rho"],
-                base2["U"], base2["V"], base2["Rt"], base2["Rho"],
-                pen_u, pen_v]
-    if use_sep:
-        field_in += [m2d]
-        small_in = [fg.s_lev, SdT, DAT]
-    else:
-        field_in += [fg.con_a_xi, fg.con_b_xi, fg.con_xi_xi,
-                     fg.jac3d, fg.deriv_r_a, fg.deriv_r_b, m2d]
-        small_in = [SdT, DAT]
-
-    def build_in_specs():
-        return ([spec(a.shape[0]) for a in field_in]
+    in_specs = ([spec(a.shape[0]) for a in field_in]
                 + [whole(a) for a in small_in]
                 + [pl.BlockSpec((1, 3), lambda ip, ia: (0, 0),
                                 memory_space=pltpu.SMEM)])
 
     g = (float(constants.Cp), float(constants.Rd), float(constants.P0),
          float(constants.g))
-    ntr = 0
-    if "Tracers" in ueval:
-        ntr = ueval["Tracers"].shape[0] // nz
-        btr1 = base1.get("Tracers", ueval["Tracers"])
-        btr2 = base2.get("Tracers", btr1)
-        field_in = field_in[:17] + [ueval["Tracers"], btr1, btr2] \
-            + field_in[17:]
-    in_specs = build_in_specs()
     kern = lambda *refs: _kernel(nz, p, delta, D, S, g, two_base,
-                                 use_sep, fg.xz_zero, ntr, refs)
+                                 use_sep, fg.xz_zero, ntr, bmeta,
+                                 has_pen, refs)
 
     shp_n = u.shape
     out_specs = tuple(spec(nz) for _ in range(5))
