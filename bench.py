@@ -97,9 +97,17 @@ def main():
     state = tc.initial_state(geom, cfg.constants, dtype=jnp.float32)
     constants = cfg.constants
 
+    multi = None
     if engine == "fast":
         from tempestmodel_tpu import fast
+        from tempestmodel_tpu.fast import engine as fe
         first_step, step1 = fast.make_fast_step(cfg, geom)
+        # production cadence: K steps fused under one jit with lax.scan
+        # (make_fast_multistep) — at the round-5 kernel count (~265/step)
+        # the scan amortizes the per-dispatch launch latency that the
+        # eager python loop pays (measured 9.2 -> 6.4 ms/step on v5e
+        # through the tunnel); both numbers are reported
+        _, multi = fe.make_fast_multistep(cfg, geom, inner)
         s0 = fast.pack_state(state)
         probe = "U"
     else:
@@ -114,14 +122,27 @@ def main():
     jax.block_until_ready(s[probe])
     finite = bool(jax.numpy.all(jax.numpy.isfinite(s[probe])))
 
-    per_step = float("inf")
+    per_step_eager = float("inf")
     for _ in range(4):
         t0 = time.perf_counter()
         s, c = state_b, carry
         for _ in range(inner):
             s, c = step1(s, c)
         jax.block_until_ready(s[probe])
-        per_step = min(per_step, (time.perf_counter() - t0) / inner)
+        per_step_eager = min(per_step_eager,
+                             (time.perf_counter() - t0) / inner)
+    per_step = per_step_eager
+    if multi is not None:
+        s, c = multi(state_b, carry)
+        jax.block_until_ready(s[probe])
+        per_step_scan = float("inf")
+        for _ in range(4):
+            t0 = time.perf_counter()
+            s, c = multi(state_b, carry)
+            jax.block_until_ready(s[probe])
+            per_step_scan = min(per_step_scan,
+                                (time.perf_counter() - t0) / inner)
+        per_step = min(per_step, per_step_scan)
 
     npts = 6 * (ne * 4) ** 2 * nz
     gps = npts / per_step
@@ -156,6 +177,8 @@ def main():
         "engine": engine,
         "finite": finite,
         "ms_per_step": per_step * 1e3,
+        "ms_per_step_eager": per_step_eager * 1e3,
+        "scan_steps": inner if multi is not None else 1,
         "gflop_per_step": flops / 1e9,
         "gbytes_ub_per_step": bytes_ub / 1e9,
         "gbytes_lb_per_step": bytes_lb / 1e9,
@@ -284,16 +307,18 @@ def _secondary_moist(inner):
                       dtype=jnp.float32)
     geom = nh_model.build_nh_sphere_geometry(cfg, ztop=tc.ztop)
     state = tc.initial_state(geom, cfg.constants, dtype=jnp.float32)
+    from tempestmodel_tpu.fast import engine as fe
     first_step, step1 = fast.make_fast_step(cfg, geom)
+    _, multi = fe.make_fast_multistep(cfg, geom, inner)
     s0 = fast.pack_state(state)
     s, c = first_step(s0)
+    import jax as _j
+    ss, cc = multi(s, c)
+    _j.block_until_ready(ss["U"])
     per_step = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        ss, cc = s, c
-        for _ in range(inner):
-            ss, cc = step1(ss, cc)
-        import jax as _j
+        ss, cc = multi(s, c)
         _j.block_until_ready(ss["U"])
         per_step = min(per_step, (time.perf_counter() - t0) / inner)
     npts = 6 * (ne * 4) ** 2 * nz
@@ -344,8 +369,12 @@ def _secondary_xz(inner):
         if hasattr(tc, "reference_state") else None
     from tempestmodel_tpu.fast.engine import fast_engine_supported
     use_fast = fast_engine_supported(cfg, geom=geom)
+    multi = None
     if use_fast:
+        from tempestmodel_tpu.fast import engine as fe
         first_step, step1 = fast.make_fast_step(cfg, geom, ref_state=ref)
+        _, multi = fe.make_fast_multistep(cfg, geom, inner,
+                                          ref_state=ref)
         s0 = fast.pack_state(state)
         probe = "U"
     else:
@@ -355,13 +384,22 @@ def _secondary_xz(inner):
         probe = "Rho"
     s, c = first_step(s0)
     per_step = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        ss, cc = s, c
-        for _ in range(inner):
-            ss, cc = step1(ss, cc)
+    if multi is not None:
+        ss, cc = multi(s, c)
         jax.block_until_ready(ss[probe])
-        per_step = min(per_step, (time.perf_counter() - t0) / inner)
+        for _ in range(3):
+            t0 = time.perf_counter()
+            ss, cc = multi(s, c)
+            jax.block_until_ready(ss[probe])
+            per_step = min(per_step, (time.perf_counter() - t0) / inner)
+    else:
+        for _ in range(3):
+            t0 = time.perf_counter()
+            ss, cc = s, c
+            for _ in range(inner):
+                ss, cc = step1(ss, cc)
+            jax.block_until_ready(ss[probe])
+            per_step = min(per_step, (time.perf_counter() - t0) / inner)
     npts = nex * 4 * 4 * nz
     acct = _line_accounting(step1, (s, c), per_step, s, n_passes=16)
     print(json.dumps({
